@@ -1,0 +1,205 @@
+"""Per-Gaussian preprocessing: cull, project, EWA conic, radius, SH color.
+
+Reproduces the math of the CUDA rasterizer's ``preprocessCUDA`` stage
+(reference spec: SURVEY.md §2.9; call-site contract in
+gaussian_renderer/__init__.py:62-140), vectorized over all N Gaussians as one
+fused XLA computation — this stage is pure elementwise/VPU work plus tiny
+matmuls, which XLA fuses into a handful of kernels on TPU.
+
+Matrix convention: ``viewmatrix`` / ``projmatrix`` are ROW-VECTOR form
+(``p' = [x y z 1] @ M``), exactly what the reference passes to CUDA
+(identity view + transposed GL projection, gaussian_renderer/__init__.py:56-78).
+
+Everything is differentiable; culling is expressed through a validity mask so
+shapes stay static under jit.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from das3r_tpu.ops.splat.settings import RasterSettings
+from das3r_tpu.utils import sh as sh_lib
+from das3r_tpu.utils.quat import quat_to_rotmat
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (all [N, ...])."""
+    mean2d: jax.Array      # [N, 2] pixel coords of projected center
+    depth: jax.Array       # [N]   view-space z
+    conic: jax.Array       # [N, 3] inverse 2D covariance (xx, xy, yy)
+    color: jax.Array       # [N, 3] RGB after SH eval (or passthrough)
+    opacity: jax.Array     # [N]
+    radius: jax.Array      # [N]   int32 screen radius; 0 == culled
+    rect_min: jax.Array    # [N, 2] int32 inclusive tile rect (x, y)
+    rect_max: jax.Array    # [N, 2] int32 exclusive tile rect
+    n_tiles_touched: jax.Array  # [N] int32
+
+
+def build_cov3d(scales: jax.Array, rotations: jax.Array,
+                scale_modifier: float) -> jax.Array:
+    """Scales [N,3] (activated, i.e. post-exp) + quats [N,4] -> [N, 6] upper
+    triangular 3D covariance (xx, xy, xz, yy, yz, zz).
+
+    Sigma = R S^2 R^T — same as the CUDA ``computeCov3D`` / python mirror
+    utils/general_utils.py:101-110.
+    """
+    R = quat_to_rotmat(rotations)                      # normalizes internally
+    L = R * (scales * scale_modifier)[:, None, :]      # R @ diag(s)
+    sigma = jnp.einsum("nij,nkj->nik", L, L)           # L @ L^T
+    return jnp.stack(
+        [sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
+         sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]], -1)
+
+
+def _cov2d(mean_view: jax.Array, cov3d: jax.Array, viewmatrix: jax.Array,
+           focal_x: float, focal_y: float, tan_fovx: float,
+           tan_fovy: float) -> jax.Array:
+    """EWA projection of the 3D covariance to screen space ([N, 3] = xx,xy,yy).
+
+    Matches CUDA ``computeCov2D`` including the 1.3*tan_fov frustum clamp on
+    the Jacobian evaluation point and the +0.3 screen-space dilation.
+    """
+    tx, ty, tz = mean_view[:, 0], mean_view[:, 1], mean_view[:, 2]
+    limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+    txtz = jnp.clip(tx / tz, -limx, limx) * tz
+    tytz = jnp.clip(ty / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J: [N, 2, 3] jacobian of (pixel) projection wrt view coords
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([focal_x * inv_z, zeros, -focal_x * txtz * inv_z2], -1),
+        jnp.stack([zeros, focal_y * inv_z, -focal_y * tytz * inv_z2], -1),
+    ], -2)
+    # W: world->view rotation. Row-vector convention means viewmatrix[:3,:3]
+    # is R^T of the math convention, so the math rotation is its transpose.
+    Wr = viewmatrix[:3, :3].T                           # [3, 3]
+    T = jnp.einsum("nij,jk->nik", J, Wr)                # [N, 2, 3]
+
+    c = cov3d
+    sigma = jnp.stack([
+        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
+        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
+        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
+    ], -2)                                              # [N, 3, 3]
+    cov = jnp.einsum("nij,njk,nlk->nil", T, sigma, T)   # [N, 2, 2]
+    xx = cov[:, 0, 0] + 0.3
+    yy = cov[:, 1, 1] + 0.3
+    xy = cov[:, 0, 1]
+    return jnp.stack([xx, xy, yy], -1)
+
+
+def preprocess(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    settings: RasterSettings,
+    *,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    campos: jax.Array,
+    shs: jax.Array | None = None,
+    colors_precomp: jax.Array | None = None,
+    scales: jax.Array | None = None,
+    rotations: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    mean2d_offset: jax.Array | None = None,
+    tan_fovx,
+    tan_fovy,
+) -> Preprocessed:
+    """Project N Gaussians to screen space.
+
+    ``mean2d_offset`` is a zeros [N, 2] tensor added to the projected pixel
+    center; its cotangent reproduces the reference's ``screenspace_points``
+    gradient-capture contract (gaussian_renderer/__init__.py:41-50) used for
+    densification statistics.
+    """
+    s = settings
+    n = means3d.shape[0]
+    f32 = means3d.dtype
+
+    focal_x = s.image_width / (2.0 * tan_fovx)
+    focal_y = s.image_height / (2.0 * tan_fovy)
+
+    ones = jnp.ones((n, 1), f32)
+    homo = jnp.concatenate([means3d, ones], -1)          # [N, 4]
+    p_view = homo @ viewmatrix                           # [N, 4] row-vector
+    p_hom = homo @ projmatrix                            # [N, 4]
+    depth = p_view[:, 2]
+
+    in_front = depth > s.near                            # cull z <= 0.001
+
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+    # ndc2Pix(v, S) = ((v + 1) * S - 1) / 2
+    mean2d = jnp.stack([
+        ((p_proj[:, 0] + 1) * s.image_width - 1) * 0.5,
+        ((p_proj[:, 1] + 1) * s.image_height - 1) * 0.5,
+    ], -1)
+    if mean2d_offset is not None:
+        mean2d = mean2d + mean2d_offset
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        assert scales is not None and rotations is not None
+        cov3d = build_cov3d(scales, rotations, s.scale_modifier)
+
+    safe_view = jnp.where(in_front[:, None],
+                          p_view[:, :3], jnp.ones((n, 3), f32))
+    cov2d = _cov2d(safe_view, cov3d, viewmatrix,
+                   focal_x, focal_y, tan_fovx, tan_fovy)
+
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
+    det_ok = det != 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([cov2d[:, 2] * inv_det, -cov2d[:, 1] * inv_det,
+                       cov2d[:, 0] * inv_det], -1)
+
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam1 = mid + disc
+    lam2 = mid - disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, lam2)))
+
+    # tile rect (getRect): int truncation after clamping to the grid
+    tgrid = jnp.asarray([s.tiles_x, s.tiles_y], jnp.int32)
+    rect_min = jnp.clip(
+        jnp.floor((mean2d - radius_f[:, None]) / s.tile).astype(jnp.int32),
+        0, tgrid)
+    rect_max = jnp.clip(
+        ((mean2d + radius_f[:, None] + s.tile - 1) // s.tile).astype(jnp.int32),
+        0, tgrid)
+    span = jnp.maximum(rect_max - rect_min, 0)
+    n_tiles_touched = span[:, 0] * span[:, 1]
+
+    valid = in_front & det_ok & (n_tiles_touched > 0)
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    n_tiles_touched = jnp.where(valid, n_tiles_touched, 0)
+
+    if colors_precomp is not None:
+        color = colors_precomp
+    else:
+        assert shs is not None
+        direction = means3d - campos[None, :]
+        direction = direction / jnp.linalg.norm(
+            direction, axis=-1, keepdims=True).clip(1e-12)
+        # shs: [N, K, 3] -> eval wants [N, 3, K]
+        raw = sh_lib.eval_sh(s.sh_degree, jnp.swapaxes(shs, -1, -2), direction)
+        color = jnp.maximum(raw + 0.5, 0.0)
+
+    return Preprocessed(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        color=color,
+        opacity=opacities.reshape(n),
+        radius=radius,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        n_tiles_touched=n_tiles_touched,
+    )

@@ -1,0 +1,42 @@
+"""Static rasterization settings.
+
+Mirrors the semantic surface of the reference's
+``GaussianRasterizationSettings`` (gaussian_renderer/__init__.py:62-78) but
+splits *static* quantities (shapes, tiling, capacities — things XLA must know
+at trace time) from *runtime* tensors (matrices, bg color), which are plain
+function arguments so they can carry gradients.
+
+The near-plane default is 0.001, reproducing the patched CUDA rasterizer
+(reference README.md:41-44: ``p_view.z <= 0.2f`` -> ``0.001f``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSettings:
+    image_height: int
+    image_width: int
+    sh_degree: int = 3          # ACTIVE degree (static: changes recompile)
+    near: float = 0.001         # patched near-plane cull threshold
+    scale_modifier: float = 1.0
+    tile: int = 16              # tile side in pixels
+    max_per_tile: int = 1024    # per-tile Gaussian capacity K (depth-sorted,
+                                # farthest truncated on overflow)
+    max_tiles_per_gaussian: int = 64  # duplication cap D during binning
+    alpha_floor: float = 1.0 / 255.0  # CUDA skip threshold
+    transmittance_eps: float = 1e-4   # CUDA early-termination threshold
+    alpha_clip: float = 0.99
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.image_width // self.tile)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.image_height // self.tile)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y

@@ -1,0 +1,84 @@
+"""Photometric losses & image metrics (pure jnp).
+
+SSIM follows the reference bit-for-bit (utils/loss_utils.py:26-66): 11x11
+Gaussian window, sigma=1.5, zero ('same') padding, per-channel depthwise
+convolution, C1=0.01^2 / C2=0.03^2. ``size_average=False`` returns the
+per-pixel map used by the static-confidence-weighted loss.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred: jax.Array, gt: jax.Array, reduce: bool = True) -> jax.Array:
+    d = jnp.abs(pred - gt)
+    return d.mean() if reduce else d
+
+
+def l2_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    return ((pred - gt) ** 2).mean()
+
+
+def mse(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-image MSE over flattened pixels (utils/image_utils.py:14-16)."""
+    b = pred.shape[0]
+    return ((pred - gt) ** 2).reshape(b, -1).mean(1, keepdims=True)
+
+
+def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """Per-image PSNR, 20*log10(1/sqrt(mse)) (utils/image_utils.py:17-19)."""
+    return 20 * jnp.log10(1.0 / jnp.sqrt(mse(pred, gt)))
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    x = np.arange(window_size)
+    g = np.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    return np.outer(g, g)
+
+
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+         size_average: bool = True) -> jax.Array:
+    """SSIM over (C, H, W) images (or (N, C, H, W)).
+
+    Depthwise 2D convolution with a fixed Gaussian window — on TPU, XLA maps
+    this onto the conv unit; the window is a compile-time constant.
+    """
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
+    n, c, h, w = img1.shape
+    win = jnp.asarray(_gaussian_window(window_size, 1.5), img1.dtype)
+    # depthwise kernel: (out_c=C, in_c/groups=1, kh, kw)
+    kernel = jnp.broadcast_to(win, (c, 1, window_size, window_size))
+
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        window_strides=(1, 1),
+        padding=[(window_size // 2, window_size // 2)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+    )
+    mu1 = conv(img1, kernel)
+    mu2 = conv(img2, kernel)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1, kernel) - mu1_sq
+    sigma2_sq = conv(img2 * img2, kernel) - mu2_sq
+    sigma12 = conv(img1 * img2, kernel) - mu1_mu2
+
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    if squeeze:
+        ssim_map = ssim_map[0]
+    return ssim_map.mean() if size_average else ssim_map
+
+
+def inverse_sigmoid(x: jax.Array) -> jax.Array:
+    """logit (utils/general_utils.py:18)."""
+    return jnp.log(x / (1 - x))
