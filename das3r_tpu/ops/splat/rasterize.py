@@ -1,0 +1,84 @@
+"""Public differentiable rasterization API.
+
+Drop-in functional equivalent of the reference's ``GaussianRasterizer``
+(gaussian_renderer/__init__.py:14-17, 131-140):
+
+    image, radii, aux = rasterize(
+        means3d, opacities, settings,
+        viewmatrix=..., projmatrix=..., campos=..., bg=...,
+        tan_fovx=..., tan_fovy=...,
+        shs=... | colors_precomp=...,
+        scales=... / rotations=... | cov3d_precomp=...,
+        mean2d_offset=...)
+
+Differences from CUDA, by design:
+  * pure function — no settings object capture, no mutable buffers;
+  * ``mean2d_offset`` (zeros [N,2]) replaces the ``screenspace_points``
+    grad-capture tensor: take ``jax.grad`` w.r.t. it to get the per-Gaussian
+    screen-space gradient used for densification stats
+    (scene/gaussian_model.py:568-570);
+  * binning indices are ``stop_gradient``-ed; gradients flow through gathered
+    values exactly as the CUDA backward replays the blend.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from das3r_tpu.ops.splat import binning, blend, preprocess as prep_mod
+from das3r_tpu.ops.splat.settings import RasterSettings
+
+
+class RasterAux(NamedTuple):
+    n_contrib_tiles: jax.Array   # [T] live Gaussians per tile (pre-truncation)
+    tile_overflow: jax.Array     # [] tiles whose list was truncated to K
+    dup_overflow: jax.Array      # [] gaussians whose rect was cut by D
+
+
+def rasterize(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    settings: RasterSettings,
+    *,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    campos: jax.Array,
+    bg: jax.Array,
+    tan_fovx,
+    tan_fovy,
+    shs: jax.Array | None = None,
+    colors_precomp: jax.Array | None = None,
+    scales: jax.Array | None = None,
+    rotations: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    mean2d_offset: jax.Array | None = None,
+    chunk: int = 32,
+    tile_batch: int = 256,
+):
+    """Render N Gaussians -> ([3, H, W] image, [N] int32 radii, RasterAux)."""
+    p = prep_mod.preprocess(
+        means3d, opacities, settings,
+        viewmatrix=viewmatrix, projmatrix=projmatrix, campos=campos,
+        shs=shs, colors_precomp=colors_precomp,
+        scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+        mean2d_offset=mean2d_offset,
+        tan_fovx=tan_fovx, tan_fovy=tan_fovy)
+
+    bins = jax.tree.map(
+        jax.lax.stop_gradient,
+        binning.bin_gaussians(jax.lax.stop_gradient(p), settings))
+
+    img = blend.blend_tiles(
+        blend.BlendInputs(mean2d=p.mean2d, conic=p.conic, color=p.color,
+                          opacity=p.opacity),
+        bins, settings, bg, chunk=chunk, tile_batch=tile_batch)
+
+    aux = RasterAux(
+        n_contrib_tiles=bins.full_count,
+        tile_overflow=jnp.sum(
+            (bins.full_count > settings.max_per_tile).astype(jnp.int32)),
+        dup_overflow=bins.dup_overflow,
+    )
+    return img, p.radius, aux
