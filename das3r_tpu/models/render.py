@@ -1,0 +1,111 @@
+"""Scene-level render paths — functional equivalents of the reference's four
+renderers (gaussian_renderer/__init__.py: ``render`` :23, ``render_test``
+:152, ``render_no_soft`` :279, ``render_confidence`` :410).
+
+All use the DAS3R "identity-view trick": the rasterizer sees viewmatrix = I
+and Gaussians transformed into the camera frame *inside the autodiff graph*
+(xyz' = w2c(q,t) @ xyz, rot' = q * rot), so the photometric loss reaches the
+learnable camera pose (reference :56-93; SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from das3r_tpu.models.gaussians import (
+    GaussianMeta, GaussianParams, activated_opacity, activated_scaling,
+    per_gaussian_conf)
+from das3r_tpu.ops.splat import RasterSettings, rasterize
+from das3r_tpu.utils import transforms
+from das3r_tpu.utils.quat import pose_to_w2c, quat_mul
+
+
+class RenderOutput(NamedTuple):
+    image: jax.Array         # [3, H, W]
+    radii: jax.Array         # [Nc] int32 (visibility_filter == radii > 0)
+    mean2d_grad_capture: jax.Array | None  # zeros [Nc, 2] offset that was fed
+    aux: object
+
+
+def _camera_frame_gaussians(params: GaussianParams, camera_pose: jax.Array):
+    """Transform means/orientations into the camera frame (reference :83-93)."""
+    w2c = pose_to_w2c(camera_pose)
+    xyz_cam = params.xyz @ w2c[:3, :3].T + w2c[:3, 3]
+    rot_cam = quat_mul(camera_pose[:4], params.rotation)
+    return xyz_cam, rot_cam
+
+
+def _raster_common(fovx, fovy, znear=0.01, zfar=100.0):
+    """Identity viewmatrix + row-vector projection (reference :56-78).
+    FoV is a traced scalar (per-frame intrinsics / learnable-FoV paths)."""
+    proj = transforms.projection_matrix_dyn(znear, zfar, fovx, fovy).T
+    tan_fovx = jnp.tan(jnp.asarray(fovx) * 0.5)
+    tan_fovy = jnp.tan(jnp.asarray(fovy) * 0.5)
+    view = jnp.eye(4, dtype=jnp.float32)
+    campos = jnp.zeros(3, jnp.float32)
+    return view, proj, campos, tan_fovx, tan_fovy
+
+
+def render(
+    params: GaussianParams,
+    meta: GaussianMeta,
+    settings: RasterSettings,
+    camera_pose: jax.Array,        # [7] learnable (quat, t)
+    bg: jax.Array,                 # [3]
+    fovx: float,
+    fovy: float,
+    *,
+    mode: str = "train",           # train | test | no_soft | confidence
+    conf_per_gaussian: jax.Array | None = None,  # test mode (PLY-loaded)
+    capture_mean2d_grad: bool = False,
+) -> RenderOutput:
+    """One differentiable render of the scene from ``camera_pose``.
+
+    mode='train'      opacity ×= conf_static gathered per Gaussian (ref :95-97)
+    mode='test'       opacity ×= ``conf_per_gaussian`` (ref render_test :224)
+    mode='no_soft'    no conf modulation; pass the learnable FoV as
+                      fovx/fovy — gradients flow into it (ref :308-318)
+    mode='confidence' opacity=1, colors = conf -> staticness image (ref :481)
+    """
+    xyz_cam, rot_cam = _camera_frame_gaussians(params, camera_pose)
+    opacity = activated_opacity(params)          # [Nc, 1]
+    alive_f = meta.alive[:, None].astype(opacity.dtype)
+
+    colors_precomp = None
+    shs = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+
+    if mode == "train":
+        conf = per_gaussian_conf(params, meta)[:, None]
+        opacity = opacity * conf
+    elif mode == "test":
+        assert conf_per_gaussian is not None
+        opacity = opacity * conf_per_gaussian.reshape(-1, 1)
+    elif mode == "no_soft":
+        pass
+    elif mode == "confidence":
+        conf = (per_gaussian_conf(params, meta)
+                if conf_per_gaussian is None else conf_per_gaussian)
+        opacity = jnp.ones_like(opacity)
+        colors_precomp = jnp.broadcast_to(conf.reshape(-1, 1),
+                                          (conf.size, 3)).astype(jnp.float32)
+        shs = None
+    else:
+        raise ValueError(mode)
+
+    opacity = opacity * alive_f
+
+    view, proj, campos, tfx, tfy = _raster_common(fovx, fovy)
+
+    offset = (jnp.zeros_like(params.xyz[:, :2])
+              if capture_mean2d_grad else None)
+    img, radii, aux = rasterize(
+        xyz_cam, opacity, settings,
+        viewmatrix=view, projmatrix=proj, campos=campos, bg=bg,
+        tan_fovx=tfx, tan_fovy=tfy,
+        shs=shs, colors_precomp=colors_precomp,
+        scales=activated_scaling(params), rotations=rot_cam,
+        mean2d_offset=offset)
+    return RenderOutput(image=img, radii=radii,
+                        mean2d_grad_capture=offset, aux=aux)

@@ -40,7 +40,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     n = prep.depth.shape[0]
     d_cap = s.max_tiles_per_gaussian
 
-    alive = prep.radius > 0
+    alive = prep.binnable
     # Global front-to-back order; stable so equal depths keep input order
     # (the CUDA radix sort over float bits is stable too).
     sort_depth = jnp.where(alive, prep.depth, jnp.inf)

@@ -36,6 +36,11 @@ class Preprocessed(NamedTuple):
     rect_min: jax.Array    # [N, 2] int32 inclusive tile rect (x, y)
     rect_max: jax.Array    # [N, 2] int32 exclusive tile rect
     n_tiles_touched: jax.Array  # [N] int32
+    binnable: jax.Array    # [N] bool: radius > 0 AND opacity can ever pass
+                           # the 1/255 alpha floor (alpha = op*exp(power) <=
+                           # op, so op < floor never blends — skipping such
+                           # Gaussians at binning is exactly image-preserving
+                           # and lets capacity-padded dead Gaussians cost 0)
 
 
 def build_cov3d(scales: jax.Array, rotations: jax.Array,
@@ -180,6 +185,8 @@ def preprocess(
     valid = in_front & det_ok & (n_tiles_touched > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     n_tiles_touched = jnp.where(valid, n_tiles_touched, 0)
+    binnable = valid & (
+        jax.lax.stop_gradient(opacities.reshape(n)) >= s.alpha_floor)
 
     if colors_precomp is not None:
         color = colors_precomp
@@ -202,4 +209,5 @@ def preprocess(
         rect_min=rect_min,
         rect_max=rect_max,
         n_tiles_touched=n_tiles_touched,
+        binnable=binnable,
     )

@@ -49,6 +49,26 @@ def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float,
     return jnp.asarray(P, dtype)
 
 
+def projection_matrix_dyn(znear, zfar, fovx, fovy):
+    """Traced-FoV version of ``projection_matrix`` (jnp ops) — used by the
+    learnable-FoV render path (reference render_no_soft,
+    gaussian_renderer/__init__.py:308-318)."""
+    fovx = jnp.asarray(fovx)
+    fovy = jnp.asarray(fovy)
+    inv_tan_x = 1.0 / jnp.tan(fovx / 2)
+    inv_tan_y = 1.0 / jnp.tan(fovy / 2)
+    z = jnp.zeros(())
+    o = jnp.ones(())
+    c = jnp.full((), zfar / (zfar - znear))
+    d = jnp.full((), -(zfar * znear) / (zfar - znear))
+    return jnp.stack([
+        jnp.stack([inv_tan_x, z, z, z]),
+        jnp.stack([z, inv_tan_y, z, z]),
+        jnp.stack([z, z, c, d]),
+        jnp.stack([z, z, o, z]),
+    ])
+
+
 def fov2focal(fov: float, pixels: float) -> float:
     return pixels / (2 * math.tan(fov / 2))
 

@@ -1,0 +1,222 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from das3r_tpu.models import render as render_mod
+from das3r_tpu.models.gaussians import (
+    GaussianMeta, GaussianParams, PoseParams, init_pose_params)
+from das3r_tpu.ops.splat import RasterSettings
+from das3r_tpu.train import optim, step as step_mod
+from das3r_tpu.train.config import OptimizationConfig
+
+
+class TestAdamParity:
+    def test_matches_torch_adam(self):
+        import torch
+        rng = np.random.default_rng(0)
+        p0 = rng.standard_normal((5, 3)).astype(np.float32)
+        grads = [rng.standard_normal((5, 3)).astype(np.float32)
+                 for _ in range(6)]
+        lrs = [1e-2, 1e-2, 5e-3, 5e-3, 1e-3, 1e-3]
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = torch.optim.Adam([tp], lr=0.0, eps=1e-15)
+        for g, lr in zip(grads, lrs):
+            topt.param_groups[0]["lr"] = lr
+            tp.grad = torch.from_numpy(g)
+            topt.step()
+            topt.zero_grad()
+
+        params = {"w": jnp.asarray(p0)}
+        state = optim.adam_init(params)
+        for g, lr in zip(grads, lrs):
+            params, state = optim.adam_step(
+                params, {"w": jnp.asarray(g)}, state,
+                {"w": jnp.asarray(lr, jnp.float32)})
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), atol=1e-6)
+
+    def test_gating_freezes_params_and_state(self):
+        params = {"w": jnp.ones(4)}
+        state = optim.adam_init(params)
+        g = {"w": jnp.full(4, 0.5)}
+        lr = {"w": jnp.asarray(0.1)}
+        p1, s1 = optim.adam_step(params, g, state, lr,
+                                 gate=jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(p1["w"]), 1.0)
+        assert int(s1.count) == 0
+        np.testing.assert_array_equal(np.asarray(s1.mu["w"]), 0.0)
+        p2, s2 = optim.adam_step(p1, g, s1, lr, gate=jnp.asarray(True))
+        assert int(s2.count) == 1
+        assert not np.allclose(np.asarray(p2["w"]), 1.0)
+
+    def test_gated_sequence_matches_skipped_torch(self):
+        """A gated-off step must leave the trajectory identical to torch
+        skipping optimizer.step() for that iteration."""
+        import torch
+        rng = np.random.default_rng(1)
+        p0 = rng.standard_normal(7).astype(np.float32)
+        grads = [rng.standard_normal(7).astype(np.float32) for _ in range(5)]
+        gates = [True, False, True, True, False]
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = torch.optim.Adam([tp], lr=1e-2, eps=1e-15)
+        for g, gate in zip(grads, gates):
+            tp.grad = torch.from_numpy(g)
+            if gate:
+                topt.step()
+            topt.zero_grad()
+
+        params, state = {"w": jnp.asarray(p0)}, None
+        state = optim.adam_init(params)
+        for g, gate in zip(grads, gates):
+            params, state = optim.adam_step(
+                params, {"w": jnp.asarray(g)}, state,
+                {"w": jnp.asarray(1e-2)}, gate=jnp.asarray(gate))
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), atol=1e-6)
+
+
+def build_synthetic_scene(n=160, cap=256, f=3, hw=64, seed=0):
+    """Random Gaussians + F camera poses; GT images rendered by our own
+    forward (oracle-verified elsewhere)."""
+    rng = np.random.default_rng(seed)
+    means = np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-1.2, 1.2, n),
+                      rng.uniform(3.0, 7.0, n)], -1).astype(np.float32)
+    scaling = rng.uniform(-3.0, -1.8, (n, 3)).astype(np.float32)
+    rotation = rng.standard_normal((n, 4)).astype(np.float32)
+    opacity = rng.uniform(0.5, 2.0, (n, 1)).astype(np.float32)  # logit
+    dc = rng.standard_normal((n, 1, 3)).astype(np.float32) * 0.4
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return out
+
+    params = GaussianParams(
+        xyz=jnp.asarray(pad(means)),
+        features_dc=jnp.asarray(pad(dc)),
+        features_rest=jnp.zeros((cap, 15, 3), jnp.float32),
+        scaling=jnp.asarray(pad(scaling)),
+        rotation=jnp.asarray(pad(rotation, fill=0.0)
+                             + np.asarray([1, 0, 0, 0], np.float32)),
+        opacity=jnp.asarray(pad(opacity, fill=-1e4)),
+        conf_static=jnp.ones((f, hw, hw), jnp.float32),
+    )
+    meta = GaussianMeta(
+        alive=jnp.asarray(pad(np.ones(n), fill=0.0) > 0),
+        pix_id=jnp.asarray(
+            np.arange(cap, dtype=np.int32) % (f * hw * hw)),
+        max_radii2d=jnp.zeros(cap), xyz_grad_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap))
+
+    # small camera motion around identity
+    poses_w2c = []
+    for i in range(f):
+        ang = 0.03 * i
+        R = np.asarray([[np.cos(ang), 0, np.sin(ang)],
+                        [0, 1, 0],
+                        [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        t = np.asarray([0.05 * i, -0.02 * i, 0.0], np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = R
+        m[:3, 3] = t
+        poses_w2c.append(m)
+    poses = init_pose_params(np.stack(poses_w2c), fovx=1.0, fovy=1.0)
+
+    settings = RasterSettings(image_height=hw, image_width=hw, sh_degree=0,
+                              max_per_tile=256, max_tiles_per_gaussian=32)
+    return params, meta, poses, settings
+
+
+class TestTrainStep:
+    def test_training_reduces_loss_and_recovers_pose(self):
+        params, meta, poses_gt, settings = build_synthetic_scene()
+        f = 3
+        bg = jnp.zeros(3)
+        fov = jnp.asarray(1.0)
+
+        # GT images from the true parameters/poses
+        gts = []
+        for uid in range(f):
+            out = render_mod.render(params, meta, settings,
+                                    poses_gt.pose(uid), bg, fov, fov,
+                                    mode="train")
+            gts.append(out.image)
+        gts = jnp.stack(gts)
+
+        # perturb: colors + opacity + poses
+        rng = np.random.default_rng(3)
+        params0 = params._replace(
+            features_dc=params.features_dc
+            + jnp.asarray(rng.normal(0, 0.15, params.features_dc.shape),
+                          jnp.float32),
+            opacity=params.opacity
+            + jnp.asarray(rng.normal(0, 0.3, params.opacity.shape),
+                          jnp.float32),
+        )
+        poses0 = PoseParams(
+            Q=poses_gt.Q + jnp.asarray(
+                rng.normal(0, 0.002, poses_gt.Q.shape), jnp.float32),
+            T=poses_gt.T + jnp.asarray(
+                rng.normal(0, 0.004, poses_gt.T.shape), jnp.float32),
+            fovx=poses_gt.fovx, fovy=poses_gt.fovy)
+
+        cfg = OptimizationConfig(iterations=200, psnr_threshold=10.0)
+        state = step_mod.init_train_state(params0, poses0)
+
+        losses, psnrs = [], []
+        for it in range(60):
+            uid = it % f
+            state, m = step_mod.train_step(
+                state, meta, jnp.asarray(uid), gts[uid], fov, fov, bg,
+                settings, cfg)
+            losses.append(float(m.loss))
+            psnrs.append(float(m.psnr))
+
+        assert np.mean(losses[-6:]) < 0.5 * np.mean(losses[:6])
+        assert np.mean(psnrs[-6:]) > np.mean(psnrs[:6]) + 2.0
+        assert any(float(m.cam_stepped) >= 0 for m in [m])  # ran
+
+    def test_psnr_gate_blocks_camera(self):
+        params, meta, poses, settings = build_synthetic_scene(seed=5)
+        bg = jnp.zeros(3)
+        fov = jnp.asarray(1.0)
+        gt = render_mod.render(params, meta, settings, poses.pose(0), bg,
+                               fov, fov, mode="train").image
+        # threshold impossible to clear -> camera params must stay frozen
+        cfg = OptimizationConfig(psnr_threshold=1e6)
+        state = step_mod.init_train_state(params, poses)
+        state2, m = step_mod.train_step(
+            state, meta, jnp.asarray(0), gt, fov, fov, bg, settings, cfg)
+        assert not bool(m.cam_stepped)
+        np.testing.assert_array_equal(np.asarray(state2.poses.Q),
+                                      np.asarray(state.poses.Q))
+        assert int(state2.opt_cam.count) == 0
+        assert int(state2.opt.count) == 1  # main group always steps
+
+    def test_test_pose_step_improves_held_out_pose(self):
+        params, meta, poses_gt, settings = build_synthetic_scene(seed=7)
+        bg = jnp.zeros(3)
+        fov = jnp.asarray(1.0)
+        gt = render_mod.render(params, meta, settings, poses_gt.pose(0), bg,
+                               fov, fov, mode="train").image
+        from das3r_tpu.models.gaussians import TestPoseParams
+        rng = np.random.default_rng(11)
+        tp = TestPoseParams(
+            Q=poses_gt.Q[:1] + jnp.asarray(
+                rng.normal(0, 0.01, (1, 4)), jnp.float32),
+            T=poses_gt.T[:1] + jnp.asarray(
+                rng.normal(0, 0.01, (1, 3)), jnp.float32))
+        cfg = OptimizationConfig(cam_lr_init=3e-3, cam_lr_final=3e-4)
+        st = step_mod.TestPoseState(poses=tp, opt=optim.adam_init(tp))
+        zero_mask = jnp.zeros_like(gt)
+        l0 = None
+        for it in range(30):
+            st, lossv, psnr_v = step_mod.test_pose_step(
+                st, params, meta, jnp.asarray(0), gt, zero_mask, fov, fov,
+                bg, jnp.asarray(it + 1), settings, cfg)
+            if l0 is None:
+                l0 = float(lossv)
+        assert float(lossv) < l0
