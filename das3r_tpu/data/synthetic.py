@@ -1,0 +1,86 @@
+"""Synthetic stage-1 output generator — test/bench fixture.
+
+Writes a directory in the exact flat layout the stage-1 runner produces
+(see data/rearrange.py docstring) so the full bridge -> loader -> init ->
+train pipeline can be exercised hermetically without DAVIS/Sintel data.
+
+The scene is a textured fronto-parallel "wall" at varying depth with a
+moving square (the dynamic object), seen from a slowly translating camera —
+enough structure for reconstruction losses to be meaningful.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from das3r_tpu.data import trajectory
+
+
+def make_synthetic_stage1_dir(
+    out_dir: str,
+    n_frames: int = 8,
+    height: int = 64,
+    width: int = 96,
+    seed: int = 0,
+) -> None:
+    rng = np.random.default_rng(seed)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    focal = 0.9 * width
+    K = np.zeros((n_frames, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = focal
+    K[:, 0, 2] = width / 2
+    K[:, 1, 2] = height / 2
+    K[:, 2, 2] = 1.0
+    np.savetxt(out / "pred_intrinsics.txt", K.reshape(n_frames, 9))
+
+    # slowly translating camera looking down +z
+    poses = np.tile(np.eye(4, dtype=np.float64), (n_frames, 1, 1))
+    for f in range(n_frames):
+        poses[f, 0, 3] = 0.02 * f
+        poses[f, 1, 3] = -0.01 * f
+    pos, quat = trajectory.c2w_to_tum(poses)
+    trajectory.write_tum(str(out / "pred_traj.txt"), pos, quat)
+
+    # static textured background on a bumpy plane at z ~ [4, 6]
+    tex = rng.uniform(0.1, 0.9, (height, width, 3)).astype(np.float32)
+    tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)) / 3  # smooth a bit
+    base_depth = 5.0 + np.sin(
+        np.linspace(0, 3 * np.pi, width))[None, :] * 0.5 + np.sin(
+        np.linspace(0, 2 * np.pi, height))[:, None] * 0.3
+
+    gx, gy = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    for f in range(n_frames):
+        # re-project the static wall into frame f (shift by parallax)
+        dx = poses[f, 0, 3] * focal / base_depth
+        dy = poses[f, 1, 3] * focal / base_depth
+        xs = np.clip((gx - dx).astype(np.int64), 0, width - 1)
+        ys = np.clip((gy - dy).astype(np.int64), 0, height - 1)
+        img = tex[ys, xs]
+        depth = base_depth[ys, xs].astype(np.float32)
+
+        # dynamic object: bright square marching across the image
+        x0 = int(width * 0.1 + f * width * 0.08)
+        y0 = int(height * 0.35)
+        sz = height // 5
+        dyn = np.zeros((height, width), np.float32)
+        dyn[y0:y0 + sz, x0:x0 + sz] = 1.0
+        img = np.where(dyn[..., None] > 0,
+                       np.asarray([0.95, 0.2, 0.1], np.float32), img)
+        depth = np.where(dyn > 0, 2.5, depth).astype(np.float32)
+
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            out / f"frame_{f:04d}.png")
+        np.save(out / f"frame_{f:04d}.npy", depth)
+        # stage-1 confidence is exp-mode (>=1), stored in raw (not log) form
+        conf = rng.uniform(1.5, 8.0, (height, width)).astype(np.float32)
+        np.save(out / f"conf_{f:04d}.npy", np.log(conf))
+        np.save(out / f"dyna_avg_{f:04d}.npy",
+                (dyn * 0.9).astype(np.float32))
+        np.save(out / f"dyna_max_{f:04d}.npy", dyn)
+        Image.fromarray((dyn * 255).astype(np.uint8)).save(
+            out / f"dynamic_mask_{f:04d}.png")
