@@ -174,8 +174,10 @@ def init_from_frames(
             pad(np.asarray(sh_lib.rgb_to_sh(colors))[:, None, :])),
         features_rest=jnp.zeros((cap, n_rest, 3), jnp.float32),
         scaling=jnp.asarray(pad(scales_live)),
-        rotation=jnp.asarray(pad(
-            np.tile(np.asarray([1, 0, 0, 0], np.float32), (n, 1)))),
+        # identity quats EVERYWHERE incl. dead slots: a zero quaternion has
+        # a NaN normalize-gradient that would poison the whole backward pass
+        rotation=jnp.asarray(np.tile(
+            np.asarray([1, 0, 0, 0], np.float32), (cap, 1))),
         opacity=jnp.asarray(pad(
             np.full((n, 1), _logit(1.0 / F), np.float32),
             fill=-1e4)),                       # dead slots: sigmoid -> 0

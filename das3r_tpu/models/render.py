@@ -69,6 +69,12 @@ def render(
                       fovx/fovy — gradients flow into it (ref :308-318)
     mode='confidence' opacity=1, colors = conf -> staticness image (ref :481)
     """
+    # guard dead capacity slots: a degenerate (near-zero) stored quaternion
+    # would inject NaN into the backward pass through quat normalization
+    # even though such Gaussians are culled in the forward.
+    safe_rot = jnp.where(meta.alive[:, None], params.rotation,
+                         jnp.asarray([1.0, 0, 0, 0], params.rotation.dtype))
+    params = params._replace(rotation=safe_rot)
     xyz_cam, rot_cam = _camera_frame_gaussians(params, camera_pose)
     opacity = activated_opacity(params)          # [Nc, 1]
     alive_f = meta.alive[:, None].astype(opacity.dtype)

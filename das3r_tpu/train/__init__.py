@@ -1,1 +1,2 @@
-from das3r_tpu.train import config, loss, optim, step
+from das3r_tpu.train import (checkpoint, config, loss, optim, scene_setup,
+                             step, trainer)

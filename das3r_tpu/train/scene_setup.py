@@ -1,0 +1,76 @@
+"""Scene assembly: SceneData -> training state (the functional equivalent of
+``Scene.__init__`` + ``create_from_cameras`` + ``init_RT_seq`` + ``init_fov``
++ ``init_test_RT_seq``, reference scene/__init__.py:26-93).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from das3r_tpu.data.readers import SceneData
+from das3r_tpu.models.gaussians import (
+    GaussianMeta, GaussianParams, GaussianScene, PoseParams, TestPoseParams,
+    init_from_frames, init_pose_params, init_test_pose_params)
+from das3r_tpu.ops.splat import RasterSettings
+
+
+@dataclasses.dataclass
+class SceneBundle:
+    params: GaussianParams
+    meta: GaussianMeta
+    scene: GaussianScene
+    poses: PoseParams
+    test_poses: TestPoseParams | None
+    settings: RasterSettings
+    train_data: SceneData       # train-frame subset (uid-indexed)
+    test_data: SceneData | None
+
+
+def nerfpp_radius(poses_w2c: np.ndarray) -> float:
+    """Camera-extent radius used as spatial_lr_scale (getNerfppNorm,
+    dataset_readers.py:59-80): 1.1 * max distance of camera centers from
+    their mean."""
+    c2w = np.linalg.inv(poses_w2c)
+    centers = c2w[:, :3, 3]
+    d = np.linalg.norm(centers - centers.mean(0), axis=1)
+    return float(d.max() * 1.1)
+
+
+def build_scene(
+    data: SceneData,
+    sh_degree: int = 3,
+    conf_thre: float = 1.0,
+    capacity: int | None = None,
+    max_per_tile: int = 1024,
+    max_tiles_per_gaussian: int = 32,
+    tile: int = 16,
+) -> SceneBundle:
+    train = data.subset(data.train_idx)
+    test = data.subset(data.test_idx) if len(data.test_idx) else None
+
+    spatial_lr_scale = nerfpp_radius(train.poses_w2c_colmap)
+
+    params, meta, scene = init_from_frames(
+        images=train.images, depths=train.depth, confs=train.conf,
+        dyna_avg=train.dyna_avg, poses_c2w=train.poses_c2w,
+        focals=train.intrinsics[:, 0, 0], max_sh_degree=sh_degree,
+        conf_thre=conf_thre, capacity=capacity,
+        spatial_lr_scale=spatial_lr_scale)
+
+    poses = init_pose_params(train.poses_w2c_colmap,
+                             fovx=float(train.fovx[0]),
+                             fovy=float(train.fovy[0]))
+    test_poses = (init_test_pose_params(test.poses_w2c_colmap)
+                  if test is not None else None)
+
+    settings = RasterSettings(
+        image_height=data.height, image_width=data.width,
+        sh_degree=0,  # active degree starts at 0 (bumped every 3000 iters)
+        tile=tile, max_per_tile=max_per_tile,
+        max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    return SceneBundle(params=params, meta=meta, scene=scene, poses=poses,
+                       test_poses=test_poses, settings=settings,
+                       train_data=train, test_data=test)
