@@ -1,0 +1,71 @@
+"""Benchmark: rasterizer fwd+bwd throughput at 100k Gaussians (the
+BASELINE.json headline metric), run on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against BENCH_TARGET_MPIX (the reference CUDA
+rasterizer has no published throughput — SURVEY.md §6 — so the target is
+our own recorded single-chip goal; >1.0 means faster than target).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Nominal single-chip target for fwd+bwd Mpixels/s at 100k Gaussians.
+# INRIA's CUDA rasterizer trains ~25-35 iters/s at ~0.2 Mpix on consumer
+# GPUs => ~5-7 Mpix/s fwd+bwd; we set the bar at parity with that.
+BENCH_TARGET_MPIX = 6.0
+
+N_GAUSSIANS = 100_000
+HEIGHT, WIDTH = 384, 512
+ITERS = 10
+
+
+def main():
+    from das3r_tpu.data.synthetic import random_gaussian_scene
+    from das3r_tpu.models import render as render_mod
+    from das3r_tpu.ops.splat import RasterSettings
+    from das3r_tpu.train import loss as loss_mod
+
+    settings = RasterSettings(
+        image_height=HEIGHT, image_width=WIDTH, sh_degree=3,
+        max_per_tile=1024, max_tiles_per_gaussian=32)
+    params, meta, poses = random_gaussian_scene(
+        n=N_GAUSSIANS, n_frames=2, height=HEIGHT, width=WIDTH, seed=0)
+    bg = jnp.zeros(3)
+    fov = jnp.asarray(1.0, jnp.float32)
+    gt = jnp.zeros((3, HEIGHT, WIDTH))
+
+    def loss_fn(params, pose7):
+        out = render_mod.render(params, meta, settings, pose7, bg, fov, fov,
+                                mode="train")
+        ph = loss_mod.photometric_loss(out.image, gt,
+                                       params.conf_static[0])
+        return ph.loss
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+
+    pose = poses.pose(0)
+    g = step(params, pose)                   # compile + warm up
+    jax.block_until_ready(g)
+    g = step(params, pose)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = step(params, pose)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    mpix_s = HEIGHT * WIDTH * ITERS / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterizer_fwd_bwd_mpixels_per_s_100k_gaussians",
+        "value": round(mpix_s, 3),
+        "unit": "Mpixels/s/chip",
+        "vs_baseline": round(mpix_s / BENCH_TARGET_MPIX, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

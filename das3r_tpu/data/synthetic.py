@@ -19,6 +19,54 @@ from PIL import Image
 from das3r_tpu.data import trajectory
 
 
+def random_gaussian_scene(n: int, cap: int | None = None, n_frames: int = 4,
+                          height: int = 64, width: int = 64, seed: int = 0,
+                          sh_degree: int = 3):
+    """In-memory random Gaussian scene (params/meta/poses) for benches and
+    compile checks — Gaussians filling the frustum of an identity camera."""
+    import jax.numpy as jnp
+    from das3r_tpu.models.gaussians import (GaussianMeta, GaussianParams,
+                                            PoseParams)
+
+    cap = cap or n
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, f32)
+        out[:n] = x
+        return out
+
+    means = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(2.5, 9.0, n)], -1).astype(f32)
+    n_rest = (sh_degree + 1) ** 2 - 1
+    params = GaussianParams(
+        xyz=jnp.asarray(pad(means)),
+        features_dc=jnp.asarray(pad(
+            rng.normal(0, 0.4, (n, 1, 3)).astype(f32))),
+        features_rest=jnp.zeros((cap, n_rest, 3), f32),
+        scaling=jnp.asarray(pad(rng.uniform(-4.5, -2.5, (n, 3)).astype(f32))),
+        rotation=jnp.asarray(np.tile(np.asarray([1, 0, 0, 0], f32),
+                                     (cap, 1))),
+        opacity=jnp.asarray(pad(rng.uniform(-1.0, 2.0, (n, 1)).astype(f32),
+                                fill=-1e4)),
+        conf_static=jnp.ones((n_frames, height, width), f32),
+    )
+    meta = GaussianMeta(
+        alive=jnp.asarray(pad(np.ones(n, f32)) > 0),
+        pix_id=jnp.asarray(
+            (np.arange(cap) % (n_frames * height * width)).astype(np.int32)),
+        max_radii2d=jnp.zeros(cap, f32),
+        xyz_grad_accum=jnp.zeros(cap, f32),
+        denom=jnp.zeros(cap, f32))
+    Q = np.tile(np.asarray([1, 0, 0, 0], f32), (n_frames, 1))
+    Q += rng.normal(0, 0.01, Q.shape).astype(f32)
+    T = rng.normal(0, 0.05, (n_frames, 3)).astype(f32)
+    poses = PoseParams(Q=jnp.asarray(Q), T=jnp.asarray(T),
+                       fovx=jnp.asarray(1.0, f32), fovy=jnp.asarray(1.0, f32))
+    return params, meta, poses
+
+
 def make_synthetic_stage1_dir(
     out_dir: str,
     n_frames: int = 8,

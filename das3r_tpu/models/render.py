@@ -60,6 +60,7 @@ def render(
     mode: str = "train",           # train | test | no_soft | confidence
     conf_per_gaussian: jax.Array | None = None,  # test mode (PLY-loaded)
     capture_mean2d_grad: bool = False,
+    tile_axis: str | None = None,  # mesh axis to shard image tiles over
 ) -> RenderOutput:
     """One differentiable render of the scene from ``camera_pose``.
 
@@ -112,6 +113,6 @@ def render(
         tan_fovx=tfx, tan_fovy=tfy,
         shs=shs, colors_precomp=colors_precomp,
         scales=activated_scaling(params), rotations=rot_cam,
-        mean2d_offset=offset)
+        mean2d_offset=offset, tile_axis=tile_axis)
     return RenderOutput(image=img, radii=radii,
                         mean2d_grad_capture=offset, aux=aux)

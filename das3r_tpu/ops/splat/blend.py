@@ -153,10 +153,72 @@ def blend_tiles(
 
     out = jax.lax.map(run_batch, (gid_b, count_b, pix_b))    # [NB, B, P, 3]
     out = out.reshape(n_batches * tile_batch, P, 3)[:n_tiles]
+    return assemble_image(out, s)
 
-    # [T, P, 3] -> [H, W, 3]: tiles are x-fastest, pixels x-fastest.
+
+def blend_tiles_sharded(
+    inputs: BlendInputs,
+    bins: TileBins,
+    settings: RasterSettings,
+    bg: jax.Array,
+    tile_axis: str | None = None,
+    chunk: int = 32,
+) -> jax.Array:
+    """Tile-parallel blend for multi-chip rendering: every tile is processed
+    in one flat batch with the tile dimension annotated for SPMD sharding
+    over mesh axis ``tile_axis`` (SURVEY.md §2.8 TPU plan — image tiles
+    sharded across chips; per-Gaussian grads come back through an XLA
+    all-reduce inserted by the partitioner at the gather's transpose).
+
+    Unlike ``blend_tiles`` (sequential lax.map over tile batches to bound
+    single-chip memory) this materializes [T_pad, Kc, P] chunk intermediates,
+    which is exactly what you want when T is split n_devices ways.
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    s = settings
+    P = s.tile * s.tile
+    K = s.max_per_tile
+    assert K % chunk == 0
+    n_chunks = K // chunk
+    dtype = inputs.mean2d.dtype
+    pix_all = _tile_pixel_coords(s, dtype)                   # [T, P, 2]
+
+    n_tiles = s.n_tiles
+    constrain = (
+        (lambda x: jax.lax.with_sharding_constraint(
+            x, P_(tile_axis, *([None] * (x.ndim - 1)))))
+        if tile_axis is not None else (lambda x: x))
+
+    gid = constrain(bins.gid)                                # [T, K]
+    count = constrain(bins.count)
+    pix = constrain(pix_all)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    live_all = slot < count[:, None]
+
+    body = jax.checkpoint(functools.partial(_blend_chunk, settings=s))
+
+    def scan_body(carry, c):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, 1)
+        g = sl(gid)
+        chunk_data = (inputs.mean2d[g], inputs.conic[g], inputs.color[g],
+                      inputs.opacity[g], sl(live_all), pix)
+        return body(carry, chunk_data)
+
+    init = (constrain(jnp.zeros((n_tiles, P, 3), dtype)),
+            constrain(jnp.ones((n_tiles, P), dtype)),
+            constrain(jnp.zeros((n_tiles, P), bool)))
+    (C, T, _), _ = jax.lax.scan(scan_body, init, jnp.arange(n_chunks))
+    out = C + T[..., None] * bg[None, None, :]
+    return assemble_image(out, s)
+
+
+def assemble_image(tiles: jax.Array, settings: RasterSettings) -> jax.Array:
+    """[T, P, 3] per-tile pixels -> [3, H, W] (tiles x-fastest, pixels
+    x-fastest within a tile)."""
+    s = settings
     t = s.tile
-    img = out.reshape(s.tiles_y, s.tiles_x, t, t, 3)
+    img = tiles.reshape(s.tiles_y, s.tiles_x, t, t, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(
         s.tiles_y * t, s.tiles_x * t, 3)
     img = img[: s.image_height, : s.image_width]

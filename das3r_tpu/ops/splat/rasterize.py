@@ -56,6 +56,7 @@ def rasterize(
     mean2d_offset: jax.Array | None = None,
     chunk: int = 32,
     tile_batch: int = 256,
+    tile_axis: str | None = None,
 ):
     """Render N Gaussians -> ([3, H, W] image, [N] int32 radii, RasterAux)."""
     p = prep_mod.preprocess(
@@ -70,10 +71,14 @@ def rasterize(
         jax.lax.stop_gradient,
         binning.bin_gaussians(jax.lax.stop_gradient(p), settings))
 
-    img = blend.blend_tiles(
-        blend.BlendInputs(mean2d=p.mean2d, conic=p.conic, color=p.color,
-                          opacity=p.opacity),
-        bins, settings, bg, chunk=chunk, tile_batch=tile_batch)
+    binputs = blend.BlendInputs(mean2d=p.mean2d, conic=p.conic,
+                                color=p.color, opacity=p.opacity)
+    if tile_axis is not None:
+        img = blend.blend_tiles_sharded(binputs, bins, settings, bg,
+                                        tile_axis=tile_axis, chunk=chunk)
+    else:
+        img = blend.blend_tiles(binputs, bins, settings, bg, chunk=chunk,
+                                tile_batch=tile_batch)
 
     aux = RasterAux(
         n_contrib_tiles=bins.full_count,

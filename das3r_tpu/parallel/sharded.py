@@ -1,0 +1,103 @@
+"""Multi-chip training step: data-parallel over a frame batch × tile-parallel
+inside each render, on a (data, tile) mesh.
+
+This is a capability the reference does not have — its 3DGS stage is
+strictly single-GPU (SURVEY.md §2.8). Semantics: one sharded step optimizes
+the MEAN loss over a batch of B frames (B = mesh data-axis size), the
+large-batch generalization of the reference's one-frame-per-iteration loop;
+the camera Adam gate applies per step on the mean PSNR.
+
+All communication is XLA-inserted over ICI: gradient all-reduce along
+``data`` (the DDP equivalent) and the per-Gaussian gradient reduction along
+``tile`` at the transpose of the per-tile attribute gathers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from das3r_tpu.models import render as render_mod
+from das3r_tpu.models.gaussians import GaussianMeta, PoseParams
+from das3r_tpu.ops.splat import RasterSettings
+from das3r_tpu.train import loss as loss_mod
+from das3r_tpu.train import optim, step as step_mod
+from das3r_tpu.train.config import OptimizationConfig
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
+                            cfg: OptimizationConfig,
+                            spatial_lr_scale: float = 1.0):
+    """Returns a jitted step(state, meta, uids[B], gts[B,3,H,W], fovx[B],
+    fovy[B], bg) -> (state, metrics) with inputs sharded over ``data`` and
+    each frame's tiles sharded over ``tile``."""
+
+    def per_frame_loss(params, poses, meta, uid, gt, fx, fy, bg):
+        pose = poses.pose(uid)
+        out = render_mod.render(params, meta, settings, pose, bg, fx, fy,
+                                mode="train", tile_axis="tile")
+        static = params.conf_static[uid]
+        ph = loss_mod.photometric_loss(out.image, gt, static,
+                                       cfg.lambda_dssim)
+        return ph.loss, ph.psnr_frame
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated(mesh), replicated(mesh),
+                      batch_sharding(mesh), batch_sharding(mesh),
+                      batch_sharding(mesh), batch_sharding(mesh),
+                      replicated(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)))
+    def step(state: step_mod.TrainState, meta: GaussianMeta, uids, gts,
+             fovx, fovy, bg):
+        gstep = state.step + 1
+
+        def loss_fn(params, poses):
+            losses, psnrs = jax.vmap(
+                per_frame_loss, in_axes=(None, None, None, 0, 0, 0, 0, None)
+            )(params, poses, meta, uids, gts, fovx, fovy, bg)
+            return losses.mean(), psnrs.mean()
+
+        (lossv, psnr_mean), (g_params, g_poses) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.poses)
+
+        new_params, new_opt = optim.adam_step(
+            state.params, g_params, state.opt,
+            optim.gaussian_lrs(gstep, cfg, spatial_lr_scale))
+        gate = psnr_mean > cfg.psnr_threshold
+        new_poses, new_opt_cam = optim.adam_step(
+            state.poses, g_poses, state.opt_cam,
+            optim.camera_lrs(gstep, cfg), gate=gate)
+
+        new_state = step_mod.TrainState(
+            params=new_params, poses=new_poses, opt=new_opt,
+            opt_cam=new_opt_cam, step=gstep)
+        metrics = step_mod.StepMetrics(
+            loss=lossv, psnr=psnr_mean, cam_stepped=gate,
+            radii_nonzero=jnp.zeros((), jnp.int32))
+        return new_state, metrics
+
+    return step
+
+
+def make_sharded_render(mesh: Mesh, settings: RasterSettings):
+    """Single-frame render with tiles sharded over the WHOLE mesh (both axes
+    flattened) — max pixel parallelism for interactive/eval rendering."""
+
+    @functools.partial(jax.jit, out_shardings=replicated(mesh))
+    def render_fn(params, meta, pose, bg, fovx, fovy):
+        out = render_mod.render(params, meta, settings, pose, bg, fovx,
+                                fovy, mode="train", tile_axis="tile")
+        return out.image
+
+    return render_fn
