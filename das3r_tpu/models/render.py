@@ -32,7 +32,8 @@ class RenderOutput(NamedTuple):
 def _camera_frame_gaussians(params: GaussianParams, camera_pose: jax.Array):
     """Transform means/orientations into the camera frame (reference :83-93)."""
     w2c = pose_to_w2c(camera_pose)
-    xyz_cam = params.xyz @ w2c[:3, :3].T + w2c[:3, 3]
+    xyz_cam = jnp.matmul(params.xyz, w2c[:3, :3].T,
+                         precision="highest") + w2c[:3, 3]
     rot_cam = quat_mul(camera_pose[:4], params.rotation)
     return xyz_cam, rot_cam
 

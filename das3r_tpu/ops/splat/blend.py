@@ -88,7 +88,7 @@ def _blend_chunk(carry, chunk, *, settings: RasterSettings):
     contribute = valid & ~done[:, None, :] & ~trig_before & ~trigger
 
     w = jnp.where(contribute, a * cum_before, 0.0)          # [B, Kc, P]
-    C = C + jnp.einsum("bkp,bkc->bpc", w, color)
+    C = C + jnp.einsum("bkp,bkc->bpc", w, color, precision="highest")
 
     any_trig = trigger.any(axis=1)                          # [B, P]
     first = jnp.argmax(trigger, axis=1)                     # [B, P]

@@ -1,0 +1,350 @@
+"""Pallas TPU kernels for per-tile front-to-back alpha blending.
+
+This is the hand-optimized hot path replacing ``blend.py``'s XLA
+formulation (same contract, same CUDA-exact semantics — SURVEY.md §2.9,
+hard-part #1). Design notes:
+
+  * Layout: pixels on sublanes (P = tile^2 = 256), Gaussians on lanes
+    (chunks of 128) — broadcasts of per-Gaussian attributes are free along
+    sublanes and the running-transmittance prefix product runs along lanes.
+  * The sequential CUDA loop is replaced by a log-depth Hillis-Steele prefix
+    product: ``t_after`` (transmittance after each Gaussian) is monotone
+    non-increasing along the depth-sorted lane axis, so the early-termination
+    rule collapses to ``contribute = valid & ~done & (t_after >= eps)`` —
+    no order-dependent scan is needed (the Gaussian that would push T below
+    eps contributes nothing, exactly like the CUDA ``test_T < 1e-4`` break).
+  * Per-tile Gaussian lists come in pre-gathered as [T, 9, K] (one XLA
+    gather); the backward kernel emits per-slot gradients [T, 9, K] that the
+    caller scatter-adds per Gaussian (segment-sum at HBM bandwidth).
+  * Backward replays the forward per chunk (storing only per-chunk carry
+    transmittance in VMEM scratch) then sweeps chunks in reverse with the
+    CUDA-style suffix accumulator S_i = sum_{j>i} (g . c_j) w_j + (g . bg) T_final,
+    giving d_alpha_i = (g . c_i) T_i - S_i / (1 - alpha_i).
+
+Attribute packing order (axis 1 of the [T, 9, K] arrays):
+    0: mean2d_x  1: mean2d_y  2: conic_xx  3: conic_xy  4: conic_yy
+    5: color_r   6: color_g   7: color_b   8: opacity
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from das3r_tpu.ops.splat.settings import RasterSettings
+
+N_ATTR = 9
+
+
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU so the same code path is testable on
+    the CPU mesh (tests) and compiled on real hardware."""
+    return jax.default_backend() != "tpu"
+
+
+def _lane_iota(rows: int, cols: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+
+
+def _shifted_prefix_product(one_m, chunk: int):
+    """Inclusive prefix product along lanes (Hillis-Steele, log2 steps);
+    shifted-in elements are 1."""
+    lanes = _lane_iota(one_m.shape[0], chunk)
+    x = one_m
+    s = 1
+    while s < chunk:
+        rolled = pltpu.roll(x, s, 1)
+        x = x * jnp.where(lanes >= s, rolled, 1.0)
+        s *= 2
+    return x
+
+
+def _shifted_suffix_sum(e, chunk: int):
+    """EXCLUSIVE suffix sum along lanes: out[i] = sum_{j>i} e[j]."""
+    lanes = _lane_iota(e.shape[0], chunk)
+    # left-roll by s == circular right-roll by (chunk - s)
+    # make it exclusive first: shift left by one (toward lower lanes)
+    x = jnp.where(lanes < chunk - 1, pltpu.roll(e, chunk - 1, 1), 0.0)
+    s = 1
+    while s < chunk:
+        rolled = pltpu.roll(x, chunk - s, 1)
+        x = x + jnp.where(lanes < chunk - s, rolled, 0.0)
+        s *= 2
+    return x
+
+
+def _pixel_coords(settings: RasterSettings, tile_idx):
+    """Per-tile pixel coords as [P, 1] columns (pixels on sublanes)."""
+    s = settings
+    P = s.tile * s.tile
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    tx = tile_idx % s.tiles_x
+    ty = tile_idx // s.tiles_x
+    px = (tx * s.tile + pix % s.tile).astype(jnp.float32)
+    py = (ty * s.tile + pix // s.tile).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_quantities(attr_ref, px, py, c, chunk, count, settings):
+    """Shared fwd/bwd math for one chunk: returns per-[P, chunk] arrays."""
+    s = settings
+    P = px.shape[0]
+    sl = pl.ds(c * chunk, chunk)
+    a_mx = attr_ref[0, sl].reshape(1, chunk)
+    a_my = attr_ref[1, sl].reshape(1, chunk)
+    a_cxx = attr_ref[2, sl].reshape(1, chunk)
+    a_cxy = attr_ref[3, sl].reshape(1, chunk)
+    a_cyy = attr_ref[4, sl].reshape(1, chunk)
+    a_op = attr_ref[8, sl].reshape(1, chunk)
+
+    dx = a_mx - px                                   # [P, chunk]
+    dy = a_my - py
+    power = (-0.5 * (a_cxx * dx * dx + a_cyy * dy * dy)
+             - a_cxy * dx * dy)
+    alpha_raw = a_op * jnp.exp(power)
+    alpha = jnp.minimum(s.alpha_clip, alpha_raw)
+    k_global = _lane_iota(P, chunk) + c * chunk
+    valid = ((power <= 0.0) & (alpha >= s.alpha_floor)
+             & (k_global < count))
+    a = jnp.where(valid, alpha, 0.0)
+    return dx, dy, power, alpha_raw, alpha, valid, a
+
+
+def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
+                    *, settings: RasterSettings, chunk: int):
+    s = settings
+    P = s.tile * s.tile
+    K = s.max_per_tile
+    n_chunks = K // chunk
+    t = pl.program_id(0)
+    count = count_ref[t]
+    px, py = _pixel_coords(s, t)
+
+    def body(c, carry):
+        C, T = carry                                # [P, 3], [P, 1]
+        _, _, _, _, _, valid, a = _chunk_quantities(
+            attr_ref, px, py, c, chunk, count, s)
+        one_m = 1.0 - a
+        p_incl = _shifted_prefix_product(one_m, chunk)
+        t_after = T * p_incl                         # [P, chunk]
+        cum_before = jnp.where(
+            _lane_iota(P, chunk) == 0, T, T * pltpu.roll(p_incl, 1, 1))
+        contribute = valid & (t_after >= s.transmittance_eps)
+        w = jnp.where(contribute, a * cum_before, 0.0)
+        sl = pl.ds(c * chunk, chunk)
+        adds = [
+            jnp.sum(w * attr_ref[5 + ch, sl].reshape(1, chunk),
+                    axis=1, keepdims=True)
+            for ch in range(3)
+        ]
+        C = C + jnp.concatenate(adds, axis=1)
+        t_cand = jnp.where(contribute, t_after, T)
+        T_new = jnp.min(t_cand, axis=1, keepdims=True)
+        return C, T_new
+
+    def cond(state):
+        c, (C, T) = state
+        return (c < pl.cdiv(count, chunk)) & (
+            jnp.max(T) >= s.transmittance_eps)
+
+    def wbody(state):
+        c, carry = state
+        return c + 1, body(c, carry)
+
+    init = (jnp.zeros((P, 3), jnp.float32), jnp.ones((P, 1), jnp.float32))
+    _, (C, T) = jax.lax.while_loop(cond, wbody, (0, init))
+
+    bg = bg_ref[0, :].reshape(1, 3)
+    color_ref[:, :] = C + T * bg
+    tfinal_ref[:, :] = T
+
+
+def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
+                     grad_ref, tin_scratch,
+                     *, settings: RasterSettings, chunk: int):
+    """Per-tile backward: forward replay storing per-chunk carry T, then a
+    reverse sweep with the suffix accumulator."""
+    s = settings
+    P = s.tile * s.tile
+    K = s.max_per_tile
+    n_chunks = K // chunk
+    t = pl.program_id(0)
+    count = count_ref[t]
+    px, py = _pixel_coords(s, t)
+    g = cot_ref[:, :]                                # [P, 3] dL/d(tile color)
+    grad_ref[:, :] = jnp.zeros((N_ATTR, K), jnp.float32)
+
+    # ---- phase 1: forward replay, store T at the START of each chunk
+    def fbody(c, T):
+        tin_scratch[c, :, :] = T
+        _, _, _, _, _, valid, a = _chunk_quantities(
+            attr_ref, px, py, c, chunk, count, s)
+        one_m = 1.0 - a
+        p_incl = _shifted_prefix_product(one_m, chunk)
+        t_after = T * p_incl
+        contribute = valid & (t_after >= s.transmittance_eps)
+        t_cand = jnp.where(contribute, t_after, T)
+        return jnp.min(t_cand, axis=1, keepdims=True)
+
+    T_final = jax.lax.fori_loop(0, n_chunks, fbody, jnp.ones((P, 1),
+                                                            jnp.float32))
+
+    # ---- phase 2: reverse sweep
+    bg = bg_ref[0, :].reshape(1, 3)
+    gbg = jnp.sum(g * bg, axis=1, keepdims=True)     # [P, 1]
+    S_init = gbg * T_final                           # bg term of the suffix
+
+    def bbody(i, S):
+        c = n_chunks - 1 - i
+        T_in = tin_scratch[c, :, :]
+        dx, dy, power, alpha_raw, alpha, valid, a = _chunk_quantities(
+            attr_ref, px, py, c, chunk, count, s)
+        one_m = 1.0 - a
+        p_incl = _shifted_prefix_product(one_m, chunk)
+        t_after = T_in * p_incl
+        cum_before = jnp.where(
+            _lane_iota(P, chunk) == 0, T_in, T_in * pltpu.roll(p_incl, 1, 1))
+        contribute = valid & (t_after >= s.transmittance_eps)
+        w = jnp.where(contribute, a * cum_before, 0.0)
+
+        sl = pl.ds(c * chunk, chunk)
+        gc = jnp.zeros((P, chunk), jnp.float32)      # sum_ch g_ch * color_ch
+        for ch in range(3):
+            col = attr_ref[5 + ch, sl].reshape(1, chunk)
+            gch = g[:, ch:ch + 1]                    # [P, 1]
+            # color gradient: dL/dc = g * w, reduced over pixels
+            grad_ref[5 + ch, sl] += jnp.sum(w * gch, axis=0)
+            gc = gc + gch * col
+
+        e = gc * w                                   # [P, chunk]
+        S_within = _shifted_suffix_sum(e, chunk)
+        S_i = S_within + S                           # [P, chunk]
+
+        d_alpha = jnp.where(
+            contribute,
+            gc * cum_before - S_i / jnp.maximum(one_m, 1e-12), 0.0)
+        # clip: alpha = min(0.99, alpha_raw) — no grad when clipped
+        d_alpha_raw = jnp.where(alpha_raw > s.alpha_clip, 0.0, d_alpha)
+        d_power = alpha_raw * d_alpha_raw
+        d_op = jnp.sum(jnp.exp(power) * d_alpha_raw, axis=0)
+        a_cxx = attr_ref[2, sl].reshape(1, chunk)
+        a_cxy = attr_ref[3, sl].reshape(1, chunk)
+        a_cyy = attr_ref[4, sl].reshape(1, chunk)
+        d_cxx = jnp.sum(-0.5 * dx * dx * d_power, axis=0)
+        d_cxy = jnp.sum(-dx * dy * d_power, axis=0)
+        d_cyy = jnp.sum(-0.5 * dy * dy * d_power, axis=0)
+        ddx = (-(a_cxx * dx + a_cxy * dy)) * d_power
+        ddy = (-(a_cyy * dy + a_cxy * dx)) * d_power
+        grad_ref[0, sl] += jnp.sum(ddx, axis=0)
+        grad_ref[1, sl] += jnp.sum(ddy, axis=0)
+        grad_ref[2, sl] += d_cxx
+        grad_ref[3, sl] += d_cxy
+        grad_ref[4, sl] += d_cyy
+        grad_ref[8, sl] += d_op
+
+        # suffix carry for the previous (nearer) chunk
+        return jnp.sum(e, axis=1, keepdims=True) + S
+
+    jax.lax.fori_loop(0, n_chunks, bbody, S_init)
+
+
+def _pick_chunk(K: int) -> int:
+    if K % 128 == 0:
+        return 128
+    assert K <= 128 and 128 % K == 0, (
+        f"max_per_tile={K} must be a multiple of 128 or a divisor of 128")
+    return K
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blend_tiles_pallas(attrs: jax.Array, counts: jax.Array, bg: jax.Array,
+                       settings: RasterSettings):
+    """attrs [T, 9, K], counts [T] int32, bg [3] -> tile colors [T, P, 3].
+
+    Gradients flow to ``attrs`` and ``bg`` (counts are integers).
+    """
+    colors, _ = _forward_impl(attrs, counts, bg, settings)
+    return colors
+
+
+def _forward_impl(attrs, counts, bg, settings: RasterSettings):
+    s = settings
+    T_tiles = s.n_tiles
+    P = s.tile * s.tile
+    K = s.max_per_tile
+    chunk = _pick_chunk(K)
+    kernel = functools.partial(_forward_kernel, settings=s, chunk=chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, P, 3), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    colors, tfinal = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_tiles, P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, P, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(counts, attrs, bg.reshape(1, 3))
+    return colors, tfinal
+
+
+def _fwd(attrs, counts, bg, settings):
+    colors, tfinal = _forward_impl(attrs, counts, bg, settings)
+    return colors, (attrs, counts, bg, tfinal)
+
+
+def _bwd(settings: RasterSettings, res, g_colors):
+    attrs, counts, bg, tfinal = res
+    s = settings
+    T_tiles = s.n_tiles
+    P = s.tile * s.tile
+    K = s.max_per_tile
+    chunk = _pick_chunk(K)
+    n_chunks = K // chunk
+    kernel = functools.partial(_backward_kernel, settings=s, chunk=chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 3), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_chunks, P, 1), jnp.float32)],
+    )
+    g_attrs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_tiles, N_ATTR, K), jnp.float32),
+        interpret=_interpret(),
+    )(counts, attrs, bg.reshape(1, 3), g_colors, tfinal)
+    # bg gradient: dL/dbg = sum over pixels of g * T_final
+    g_bg = jnp.sum(g_colors * tfinal, axis=(0, 1))
+    return g_attrs, None, g_bg
+
+
+blend_tiles_pallas.defvjp(_fwd, _bwd)

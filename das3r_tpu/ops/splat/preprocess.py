@@ -53,7 +53,7 @@ def build_cov3d(scales: jax.Array, rotations: jax.Array,
     """
     R = quat_to_rotmat(rotations)                      # normalizes internally
     L = R * (scales * scale_modifier)[:, None, :]      # R @ diag(s)
-    sigma = jnp.einsum("nij,nkj->nik", L, L)           # L @ L^T
+    sigma = jnp.einsum("nij,nkj->nik", L, L, precision="highest")           # L @ L^T
     return jnp.stack(
         [sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
          sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]], -1)
@@ -83,7 +83,7 @@ def _cov2d(mean_view: jax.Array, cov3d: jax.Array, viewmatrix: jax.Array,
     # W: world->view rotation. Row-vector convention means viewmatrix[:3,:3]
     # is R^T of the math convention, so the math rotation is its transpose.
     Wr = viewmatrix[:3, :3].T                           # [3, 3]
-    T = jnp.einsum("nij,jk->nik", J, Wr)                # [N, 2, 3]
+    T = jnp.einsum("nij,jk->nik", J, Wr, precision="highest")                # [N, 2, 3]
 
     c = cov3d
     sigma = jnp.stack([
@@ -91,7 +91,8 @@ def _cov2d(mean_view: jax.Array, cov3d: jax.Array, viewmatrix: jax.Array,
         jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
         jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
     ], -2)                                              # [N, 3, 3]
-    cov = jnp.einsum("nij,njk,nlk->nil", T, sigma, T)   # [N, 2, 2]
+    cov = jnp.einsum("nij,njk,nlk->nil", T, sigma, T,
+                     precision="highest")   # [N, 2, 2]
     xx = cov[:, 0, 0] + 0.3
     yy = cov[:, 1, 1] + 0.3
     xy = cov[:, 0, 1]
@@ -131,8 +132,8 @@ def preprocess(
 
     ones = jnp.ones((n, 1), f32)
     homo = jnp.concatenate([means3d, ones], -1)          # [N, 4]
-    p_view = homo @ viewmatrix                           # [N, 4] row-vector
-    p_hom = homo @ projmatrix                            # [N, 4]
+    p_view = jnp.matmul(homo, viewmatrix, precision="highest")                           # [N, 4] row-vector
+    p_hom = jnp.matmul(homo, projmatrix, precision="highest")                            # [N, 4]
     depth = p_view[:, 2]
 
     in_front = depth > s.near                            # cull z <= 0.001

@@ -57,6 +57,7 @@ def rasterize(
     chunk: int = 32,
     tile_batch: int = 256,
     tile_axis: str | None = None,
+    backend: str = "auto",   # auto | xla | pallas
 ):
     """Render N Gaussians -> ([3, H, W] image, [N] int32 radii, RasterAux)."""
     p = prep_mod.preprocess(
@@ -71,14 +72,28 @@ def rasterize(
         jax.lax.stop_gradient,
         binning.bin_gaussians(jax.lax.stop_gradient(p), settings))
 
-    binputs = blend.BlendInputs(mean2d=p.mean2d, conic=p.conic,
-                                color=p.color, opacity=p.opacity)
-    if tile_axis is not None:
-        img = blend.blend_tiles_sharded(binputs, bins, settings, bg,
-                                        tile_axis=tile_axis, chunk=chunk)
+    if backend == "auto":
+        backend = "pallas" if (tile_axis is None
+                               and jax.default_backend() == "tpu") else "xla"
+
+    if backend == "pallas":
+        from das3r_tpu.ops.splat import pallas_blend
+        # one gather: per-tile slot attributes [T, K, 9] -> [T, 9, K]
+        attr_mat = jnp.concatenate(
+            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
+        gathered = attr_mat[bins.gid]                       # [T, K, 9]
+        tiles = pallas_blend.blend_tiles_pallas(
+            jnp.swapaxes(gathered, 1, 2), bins.count, bg, settings)
+        img = blend.assemble_image(tiles, settings)
     else:
-        img = blend.blend_tiles(binputs, bins, settings, bg, chunk=chunk,
-                                tile_batch=tile_batch)
+        binputs = blend.BlendInputs(mean2d=p.mean2d, conic=p.conic,
+                                    color=p.color, opacity=p.opacity)
+        if tile_axis is not None:
+            img = blend.blend_tiles_sharded(binputs, bins, settings, bg,
+                                            tile_axis=tile_axis, chunk=chunk)
+        else:
+            img = blend.blend_tiles(binputs, bins, settings, bg, chunk=chunk,
+                                    tile_batch=tile_batch)
 
     aux = RasterAux(
         n_contrib_tiles=bins.full_count,
