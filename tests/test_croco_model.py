@@ -1,0 +1,242 @@
+"""Stage-1 model tests: layout-rule oracles vs torch, converter/model
+structure agreement, forward smoke + activation contracts."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from das3r_tpu.models.croco.blocks import PatchEmbed
+from das3r_tpu.models.croco.convert import convert_torch_state_dict
+from das3r_tpu.models.croco.dpt import PixelShuffleUp, resize_bilinear_ac
+from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D, Dust3rConfig
+
+TINY = Dust3rConfig(enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
+                    dec_embed_dim=32, dec_depth=4, dec_num_heads=2)
+
+
+class TestLayoutOracles:
+    def test_patchify_equals_torch_conv(self):
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, 3, 32, 48)).astype(np.float32)
+        w = rng.standard_normal((64, 3, 16, 16)).astype(np.float32) * 0.02
+        b = rng.standard_normal(64).astype(np.float32)
+
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(img), torch.from_numpy(w),
+            torch.from_numpy(b), stride=16)
+        ref = ref.flatten(2).transpose(1, 2).numpy()  # B, N, C
+
+        pe = PatchEmbed(16, 64)
+        params = {"proj": {"kernel": jnp.asarray(w.reshape(64, -1).T),
+                           "bias": jnp.asarray(b)}}
+        out, pos = pe.apply({"params": params}, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+        # positions are (y, x)
+        np.testing.assert_array_equal(np.asarray(pos[0, :3]),
+                                      [[0, 0], [0, 1], [0, 2]])
+
+    def test_pixelshuffle_equals_torch_convtranspose(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 5, 7, 12)).astype(np.float32)  # NHWC
+        w = rng.standard_normal((12, 9, 4, 4)).astype(np.float32) * 0.1
+        b = rng.standard_normal(9).astype(np.float32)
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+            torch.from_numpy(b), stride=4).numpy().transpose(0, 2, 3, 1)
+
+        ps = PixelShuffleUp(9, 4)
+        params = {"proj": {"kernel": jnp.asarray(w.reshape(12, -1)),
+                           "bias": jnp.asarray(np.repeat(b, 16))}}
+        out = ps.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_resize_matches_torch_align_corners(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 6, 9, 4)).astype(np.float32)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
+            mode="bilinear", align_corners=True
+        ).numpy().transpose(0, 2, 3, 1)
+        out = resize_bilinear_ac(jnp.asarray(x), 12, 18)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_rope_matches_torch_reference(self):
+        """Independent torch implementation of croco RoPE2D semantics."""
+        from das3r_tpu.models.croco.rope import rope_2d
+        rng = np.random.default_rng(3)
+        B, H, N, D = 2, 3, 6, 16
+        tok = rng.standard_normal((B, H, N, D)).astype(np.float32)
+        pos = rng.integers(0, 7, (B, N, 2))
+
+        def torch_rope1d(t, p1d, base):
+            Dh = t.shape[-1]
+            inv = 1.0 / (base ** (torch.arange(0, Dh, 2).float() / Dh))
+            ang = p1d.float()[..., None] * inv  # [B, H, N, Dh/2]
+            ang = torch.cat([ang, ang], -1)
+            cos, sin = ang.cos(), ang.sin()
+            x1, x2 = t.chunk(2, -1)
+            rot = torch.cat([-x2, x1], -1)
+            return t * cos + rot * sin
+
+        t = torch.from_numpy(tok)
+        p = torch.from_numpy(pos)
+        y, x = t.chunk(2, -1)
+        ref = torch.cat([
+            torch_rope1d(y, p[:, None, :, 0], 100.0),
+            torch_rope1d(x, p[:, None, :, 1], 100.0)], -1).numpy()
+        out = rope_2d(jnp.asarray(tok), jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def random_torch_state_dict(cfg: Dust3rConfig, rng):
+    """Enumerate the reference checkpoint's keys with correct shapes."""
+    p = {}
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.02
+    De, Dd = cfg.enc_embed_dim, cfg.dec_embed_dim
+    p["patch_embed.proj.weight"] = r(De, 3, 16, 16)
+    p["patch_embed.proj.bias"] = r(De)
+
+    def block(prefix, D):
+        p[f"{prefix}.norm1.weight"] = r(D)
+        p[f"{prefix}.norm1.bias"] = r(D)
+        p[f"{prefix}.norm2.weight"] = r(D)
+        p[f"{prefix}.norm2.bias"] = r(D)
+        p[f"{prefix}.attn.qkv.weight"] = r(3 * D, D)
+        p[f"{prefix}.attn.qkv.bias"] = r(3 * D)
+        p[f"{prefix}.attn.proj.weight"] = r(D, D)
+        p[f"{prefix}.attn.proj.bias"] = r(D)
+        p[f"{prefix}.mlp.fc1.weight"] = r(4 * D, D)
+        p[f"{prefix}.mlp.fc1.bias"] = r(4 * D)
+        p[f"{prefix}.mlp.fc2.weight"] = r(D, 4 * D)
+        p[f"{prefix}.mlp.fc2.bias"] = r(D)
+
+    def dec_block(prefix, D):
+        block(prefix, D)
+        p[f"{prefix}.norm3.weight"] = r(D)
+        p[f"{prefix}.norm3.bias"] = r(D)
+        p[f"{prefix}.norm_y.weight"] = r(D)
+        p[f"{prefix}.norm_y.bias"] = r(D)
+        for nm in ("projq", "projk", "projv", "proj"):
+            p[f"{prefix}.cross_attn.{nm}.weight"] = r(D, D)
+            p[f"{prefix}.cross_attn.{nm}.bias"] = r(D)
+
+    for i in range(cfg.enc_depth):
+        block(f"enc_blocks.{i}", De)
+    p["enc_norm.weight"] = r(De)
+    p["enc_norm.bias"] = r(De)
+    p["decoder_embed.weight"] = r(Dd, De)
+    p["decoder_embed.bias"] = r(Dd)
+    for i in range(cfg.dec_depth):
+        dec_block(f"dec_blocks.{i}", Dd)
+        dec_block(f"dec_blocks2.{i}", Dd)
+    p["dec_norm.weight"] = r(Dd)
+    p["dec_norm.bias"] = r(Dd)
+
+    ld = (96, 192, 384, 768)
+    dims = (De, Dd, Dd, Dd)
+
+    def dpt(prefix, nch, head_type):
+        p[f"{prefix}.dpt.act_postprocess.0.0.weight"] = r(ld[0], dims[0], 1, 1)
+        p[f"{prefix}.dpt.act_postprocess.0.0.bias"] = r(ld[0])
+        p[f"{prefix}.dpt.act_postprocess.0.1.weight"] = r(ld[0], ld[0], 4, 4)
+        p[f"{prefix}.dpt.act_postprocess.0.1.bias"] = r(ld[0])
+        p[f"{prefix}.dpt.act_postprocess.1.0.weight"] = r(ld[1], dims[1], 1, 1)
+        p[f"{prefix}.dpt.act_postprocess.1.0.bias"] = r(ld[1])
+        p[f"{prefix}.dpt.act_postprocess.1.1.weight"] = r(ld[1], ld[1], 2, 2)
+        p[f"{prefix}.dpt.act_postprocess.1.1.bias"] = r(ld[1])
+        p[f"{prefix}.dpt.act_postprocess.2.0.weight"] = r(ld[2], dims[2], 1, 1)
+        p[f"{prefix}.dpt.act_postprocess.2.0.bias"] = r(ld[2])
+        p[f"{prefix}.dpt.act_postprocess.3.0.weight"] = r(ld[3], dims[3], 1, 1)
+        p[f"{prefix}.dpt.act_postprocess.3.0.bias"] = r(ld[3])
+        p[f"{prefix}.dpt.act_postprocess.3.1.weight"] = r(ld[3], ld[3], 3, 3)
+        p[f"{prefix}.dpt.act_postprocess.3.1.bias"] = r(ld[3])
+        for i in range(4):
+            p[f"{prefix}.dpt.scratch.layer_rn.{i}.weight"] = r(256, ld[i], 3, 3)
+        for j in range(1, 5):
+            rp = f"{prefix}.dpt.scratch.refinenet{j}"
+            for unit in ("resConfUnit1", "resConfUnit2"):
+                for c in ("conv1", "conv2"):
+                    p[f"{rp}.{unit}.{c}.weight"] = r(256, 256, 3, 3)
+                    p[f"{rp}.{unit}.{c}.bias"] = r(256)
+            p[f"{rp}.out_conv.weight"] = r(256, 256, 1, 1)
+            p[f"{rp}.out_conv.bias"] = r(256)
+        if head_type == "regression":
+            p[f"{prefix}.dpt.head.0.weight"] = r(128, 256, 3, 3)
+            p[f"{prefix}.dpt.head.0.bias"] = r(128)
+            p[f"{prefix}.dpt.head.2.weight"] = r(128, 128, 3, 3)
+            p[f"{prefix}.dpt.head.2.bias"] = r(128)
+            p[f"{prefix}.dpt.head.4.weight"] = r(nch, 128, 1, 1)
+            p[f"{prefix}.dpt.head.4.bias"] = r(nch)
+        else:
+            p[f"{prefix}.dpt.head.0.weight"] = r(256, 256, 3, 3)
+            p[f"{prefix}.dpt.head.4.weight"] = r(nch, 256, 1, 1)
+            p[f"{prefix}.dpt.head.4.bias"] = r(nch)
+
+    dpt("downstream_head1", 4, "regression")
+    dpt("downstream_head2", 4, "regression")
+    dpt("downstream_head_dynamic_mask1", 1, "semseg")
+    dpt("downstream_head_dynamic_mask2", 1, "semseg")
+    return p
+
+
+class TestConverterAndModel:
+    def test_converted_tree_matches_flax_init(self):
+        rng = np.random.default_rng(4)
+        model = AsymmetricCroCo3D(TINY)
+        img = jnp.zeros((1, 3, 32, 48))
+        init_params = model.init(jax.random.PRNGKey(0), img, img)["params"]
+
+        torch_sd = random_torch_state_dict(TINY, rng)
+        conv = convert_torch_state_dict(torch_sd, TINY)
+        conv = jax.tree.map(jnp.asarray, conv)
+
+        flat_init = jax.tree_util.tree_flatten_with_path(init_params)[0]
+        flat_conv = jax.tree_util.tree_flatten_with_path(conv)[0]
+        paths_init = {jax.tree_util.keystr(k): v.shape
+                      for k, v in flat_init}
+        paths_conv = {jax.tree_util.keystr(k): v.shape
+                      for k, v in flat_conv}
+        missing = set(paths_init) - set(paths_conv)
+        extra = set(paths_conv) - set(paths_init)
+        assert not missing, f"converter missing: {sorted(missing)[:8]}"
+        assert not extra, f"converter extra: {sorted(extra)[:8]}"
+        for k in paths_init:
+            assert paths_init[k] == paths_conv[k], (
+                k, paths_init[k], paths_conv[k])
+
+    def test_forward_contract(self):
+        rng = np.random.default_rng(5)
+        model = AsymmetricCroCo3D(TINY)
+        torch_sd = random_torch_state_dict(TINY, rng)
+        params = jax.tree.map(jnp.asarray,
+                              convert_torch_state_dict(torch_sd, TINY))
+        img1 = jnp.asarray(rng.standard_normal((2, 3, 32, 48)), jnp.float32)
+        img2 = jnp.asarray(rng.standard_normal((2, 3, 32, 48)), jnp.float32)
+        res1, res2 = model.apply({"params": params}, img1, img2)
+        assert res1["pts3d"].shape == (2, 32, 48, 3)
+        assert res1["conf"].shape == (2, 32, 48)
+        assert res1["dynamic_mask"].shape == (2, 32, 48)
+        assert res2["pts3d_in_other_view"].shape == (2, 32, 48, 3)
+        assert float(res1["conf"].min()) >= 1.0  # exp conf mode: vmin=1
+        m = np.asarray(res1["dynamic_mask"])
+        assert (m >= 0).all() and (m <= 1).all()
+        assert np.isfinite(np.asarray(res1["pts3d"])).all()
+
+    def test_encode_decode_pipeline_equals_call(self):
+        rng = np.random.default_rng(6)
+        model = AsymmetricCroCo3D(TINY)
+        torch_sd = random_torch_state_dict(TINY, rng)
+        params = jax.tree.map(jnp.asarray,
+                              convert_torch_state_dict(torch_sd, TINY))
+        img1 = jnp.asarray(rng.standard_normal((1, 3, 32, 48)), jnp.float32)
+        img2 = jnp.asarray(rng.standard_normal((1, 3, 32, 48)), jnp.float32)
+        r1, r2 = model.apply({"params": params}, img1, img2)
+        f1, p1 = model.apply({"params": params}, img1, method="encode")
+        f2, p2 = model.apply({"params": params}, img2, method="encode")
+        q1, q2 = model.apply({"params": params}, f1, p1, f2, p2, 32, 48,
+                             method="decode")
+        np.testing.assert_allclose(np.asarray(r1["pts3d"]),
+                                   np.asarray(q1["pts3d"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r2["conf"]),
+                                   np.asarray(q2["conf"]), atol=1e-6)
