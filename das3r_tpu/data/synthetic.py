@@ -124,9 +124,11 @@ def make_synthetic_stage1_dir(
         Image.fromarray((img * 255).astype(np.uint8)).save(
             out / f"frame_{f:04d}.png")
         np.save(out / f"frame_{f:04d}.npy", depth)
-        # stage-1 confidence is exp-mode (>=1), stored in raw (not log) form
+        # stage-1 confidence is exp-mode (>=1) and saved RAW; the stage-2
+        # loader compares it against log(conf_thre) (reference quirk,
+        # gaussian_model.py:624)
         conf = rng.uniform(1.5, 8.0, (height, width)).astype(np.float32)
-        np.save(out / f"conf_{f:04d}.npy", np.log(conf))
+        np.save(out / f"conf_{f:04d}.npy", conf)
         np.save(out / f"dyna_avg_{f:04d}.npy",
                 (dyn * 0.9).astype(np.float32))
         np.save(out / f"dyna_max_{f:04d}.npy", dyn)

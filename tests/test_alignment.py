@@ -1,0 +1,120 @@
+"""Global-alignment tests on synthetic multi-view scenes with known GT."""
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from das3r_tpu.eval import trajectory as traj_eval
+from das3r_tpu.predictor import alignment, pairs
+
+
+def make_multiview_scene(f=5, h=24, w=32, seed=0, noise=0.0):
+    """GT depths/poses -> exact pairwise pointmap predictions."""
+    rng = np.random.default_rng(seed)
+    focal = 0.8 * w
+    pp = np.asarray([w / 2, h / 2], np.float32)
+
+    depths = 4.0 + rng.uniform(-0.5, 0.5, (f, h, w)).astype(np.float32)
+    # smooth the depth a bit
+    for _ in range(3):
+        depths = (depths + np.roll(depths, 1, 1) + np.roll(depths, 1, 2)) / 3
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (f, 1, 1))
+    for i in range(1, f):
+        poses[i, :3, :3] = Rotation.from_euler(
+            "xyz", rng.uniform(-0.06, 0.06, 3)).as_matrix()
+        poses[i, :3, 3] = rng.uniform(-0.25, 0.25, 3)
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    pts_world = np.empty((f, h, w, 3), np.float32)
+    for i in range(f):
+        z = depths[i][..., None]
+        cam = np.concatenate(
+            [z * (np.stack([xx, yy], -1) - pp) / focal, z], -1)
+        pts_world[i] = cam @ poses[i, :3, :3].T + poses[i, :3, 3]
+
+    edges = pairs.make_pairs(f, "complete", symmetrize=True)
+    E = len(edges)
+    pred_i = np.empty((E, h, w, 3), np.float32)
+    pred_j = np.empty((E, h, w, 3), np.float32)
+    for e, (i, j) in enumerate(edges):
+        w2c_i = np.linalg.inv(poses[i])
+        pred_i[e] = pts_world[i] @ w2c_i[:3, :3].T + w2c_i[:3, 3]
+        pred_j[e] = pts_world[j] @ w2c_i[:3, :3].T + w2c_i[:3, 3]
+        if noise > 0:
+            pred_i[e] += rng.normal(0, noise, pred_i[e].shape)
+            pred_j[e] += rng.normal(0, noise, pred_j[e].shape)
+    conf = np.full((E, h, w), 10.0, np.float32)
+    mask = np.zeros((E, h, w), np.float32)
+    return edges, pred_i, pred_j, conf, mask, poses, depths, focal
+
+
+class TestMstInit:
+    def test_recovers_gt_poses_from_exact_predictions(self):
+        (edges, pred_i, pred_j, conf, mask, gt_poses, gt_depths,
+         gt_focal) = make_multiview_scene()
+        cfg = alignment.AlignerConfig(niter=0, flow_loss_weight=0.0,
+                                      temporal_smoothing_weight=0.0)
+        im_conf, _, _ = alignment.aggregate_frame_maps(
+            edges, conf, conf, mask, 5)
+        pts3d, im_poses, im_focals = alignment.mst_init(
+            edges, pred_i, pred_j, conf, conf, im_conf, cfg)
+        m = traj_eval.eval_metrics(im_poses, gt_poses)
+        assert m.ate < 1e-3
+        assert abs(im_focals.mean() - gt_focal) / gt_focal < 0.05
+
+    def test_weighted_registration(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((100, 3))
+        R = Rotation.random(rng=rng).as_matrix()
+        s, t = 1.7, rng.standard_normal(3)
+        y = s * x @ R.T + t
+        w = rng.uniform(0.5, 2.0, 100)
+        s2, R2, T2 = alignment.weighted_rigid_registration(x, y, w)
+        assert s2 == pytest.approx(s, rel=1e-6)
+        np.testing.assert_allclose(R2, R, atol=1e-6)
+        np.testing.assert_allclose(T2, t, atol=1e-6)
+
+    def test_focal_estimator(self):
+        (edges, pred_i, *_, gt_focal) = make_multiview_scene()
+        pp = np.asarray([16.0, 12.0])
+        f = alignment.estimate_focal_weiszfeld(pred_i[0], pp)
+        assert f == pytest.approx(gt_focal, rel=0.02)
+
+
+class TestFullAlignment:
+    def test_align_exact_predictions(self):
+        (edges, pred_i, pred_j, conf, mask, gt_poses, gt_depths,
+         gt_focal) = make_multiview_scene()
+        cfg = alignment.AlignerConfig(niter=30, flow_loss_weight=0.0,
+                                      temporal_smoothing_weight=0.0)
+        out = alignment.align(edges, pred_i, pred_j, conf, conf, mask, cfg)
+        m = traj_eval.eval_metrics(out.poses_c2w, gt_poses)
+        assert m.ate < 5e-3
+        # depths recovered up to the global scale
+        ratio = out.depths / gt_depths
+        assert np.std(ratio) / np.mean(ratio) < 0.02
+
+    def test_align_noisy_predictions_improves(self):
+        (edges, pred_i, pred_j, conf, mask, gt_poses, *_
+         ) = make_multiview_scene(noise=0.02, seed=3)
+        losses = []
+        cfg = alignment.AlignerConfig(niter=60, flow_loss_weight=0.0,
+                                      temporal_smoothing_weight=0.01)
+        out = alignment.align(edges, pred_i, pred_j, conf, conf, mask, cfg,
+                              callback=lambda it, l: losses.append(l))
+        assert losses[-1] < losses[0]
+        m = traj_eval.eval_metrics(out.poses_c2w, gt_poses)
+        assert m.ate < 0.05
+
+    def test_dynamic_aggregation(self):
+        (edges, pred_i, pred_j, conf, mask, *_ ) = make_multiview_scene()
+        mask = mask.copy()
+        # edge 0 is (0, 1): frame 0 sees a dynamic blob
+        mask[0, :8, :8] = 1.0
+        cfg = alignment.AlignerConfig(niter=0)
+        im_conf, dyna_avg, dyna_max = alignment.aggregate_frame_maps(
+            edges, conf, conf, mask, 5)
+        i0 = edges[0][0]
+        assert dyna_max[i0, :8, :8].max() == 1.0
+        assert 0 < dyna_avg[i0, :8, :8].max() <= 1.0
+        assert dyna_avg[2].max() == 0.0 or edges[0][0] == 2
