@@ -1,0 +1,104 @@
+"""Pairwise inference: run the predictor over a scene graph of frame pairs.
+
+TPU-first restructuring of the reference's ``inference`` (dust3r/
+inference.py:155-174): instead of re-encoding both images of every (possibly
+symmetrized) pair, every unique frame is encoded exactly ONCE in batches,
+then the decoder+heads run over pair batches gathering the cached encoder
+tokens. Static shapes throughout; batch sizes are padded to avoid
+recompilation.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D
+
+# ImgNorm: the stage-1 model consumes images normalized to mean .5/std .5
+# (reference dust3r/utils/image.py ImgNorm)
+IMG_MEAN = 0.5
+IMG_STD = 0.5
+
+
+def normalize_images(images01: np.ndarray) -> np.ndarray:
+    """[F, 3, H, W] in [0,1] -> ImgNorm'ed."""
+    return (images01 - IMG_MEAN) / IMG_STD
+
+
+@dataclasses.dataclass
+class PairPredictions:
+    """Stacked per-edge outputs (numpy, ready for alignment)."""
+    pred_i: np.ndarray   # [E, H, W, 3]
+    pred_j: np.ndarray   # [E, H, W, 3]
+    conf_i: np.ndarray   # [E, H, W]
+    conf_j: np.ndarray   # [E, H, W]
+    mask_i: np.ndarray   # [E, H, W]
+    mask_j: np.ndarray   # [E, H, W]
+
+
+def _pad_to(x: jax.Array, n: int) -> jax.Array:
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+
+
+def run_pairs(
+    model: AsymmetricCroCo3D,
+    params,
+    images01: np.ndarray,          # [F, 3, H, W] in [0, 1]
+    edges: list,
+    encode_batch: int = 8,
+    decode_batch: int = 8,
+) -> PairPredictions:
+    """Encode-once + per-pair decode over ``edges``."""
+    F, _, H, W = images01.shape
+    imgs = jnp.asarray(normalize_images(images01), jnp.float32)
+
+    encode = jax.jit(lambda p, im: model.apply({"params": p}, im,
+                                               method="encode"))
+    dec_fn = jax.jit(
+        lambda p, f1, p1, f2, p2: model.apply(
+            {"params": p}, f1, p1, f2, p2, H, W, method="decode"),
+    )
+
+    # ---- encode all frames once, in fixed-size batches
+    feats = []
+    poss = []
+    nb = -(-F // encode_batch)
+    for b in range(nb):
+        chunk = imgs[b * encode_batch:(b + 1) * encode_batch]
+        chunk = _pad_to(chunk, encode_batch)
+        f, pos = encode(params, chunk)
+        feats.append(f)
+        poss.append(pos)
+    feats = jnp.concatenate(feats, 0)[:F]
+    poss = jnp.concatenate(poss, 0)[:F]
+
+    # ---- decode pair batches
+    E = len(edges)
+    ei = np.asarray([i for i, _ in edges])
+    ej = np.asarray([j for _, j in edges])
+    out = {k: [] for k in ("pred_i", "pred_j", "conf_i", "conf_j",
+                           "mask_i", "mask_j")}
+    nb = -(-E // decode_batch)
+    for b in range(nb):
+        sl = slice(b * decode_batch, (b + 1) * decode_batch)
+        bi = jnp.asarray(ei[sl])
+        bj = jnp.asarray(ej[sl])
+        n_live = bi.shape[0]
+        bi = _pad_to(bi, decode_batch)
+        bj = _pad_to(bj, decode_batch)
+        r1, r2 = dec_fn(params, feats[bi], poss[bi], feats[bj], poss[bj])
+        out["pred_i"].append(np.asarray(r1["pts3d"])[:n_live])
+        out["pred_j"].append(np.asarray(r2["pts3d_in_other_view"])[:n_live])
+        out["conf_i"].append(np.asarray(r1["conf"])[:n_live])
+        out["conf_j"].append(np.asarray(r2["conf"])[:n_live])
+        out["mask_i"].append(np.asarray(r1["dynamic_mask"])[:n_live])
+        out["mask_j"].append(np.asarray(r2["dynamic_mask"])[:n_live])
+
+    return PairPredictions(**{k: np.concatenate(v, 0)
+                              for k, v in out.items()})

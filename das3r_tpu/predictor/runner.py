@@ -1,0 +1,142 @@
+"""Stage-1 runner: video frames -> pairwise predictions -> global alignment
+-> stage-1 output directory (the producer of everything stage 2 consumes).
+
+Equivalent of the reference's ``launch.py --mode=eval_pose_custom`` flow
+(pose_eval.pose_estimation_custom :255-330 + base_opt save_* :358-425):
+writes the flat layout that ``das3r_tpu.data.rearrange`` then re-arranges
+into a COLMAP-style scene dir.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from das3r_tpu.data import trajectory
+from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D, Dust3rConfig
+from das3r_tpu.predictor import alignment, inference, pairs
+
+
+def load_frames(image_dir: str, size: int = 512, stride: int = 1,
+                max_frames: int | None = None):
+    """Load, resize (long side -> ``size``) and crop to /16 multiples
+    (reference dust3r/utils/image.py:146-275). Returns [F, 3, H, W] in
+    [0, 1]."""
+    exts = {".png", ".jpg", ".jpeg"}
+    files = sorted(p for p in Path(image_dir).iterdir()
+                   if p.suffix.lower() in exts)
+    files = files[::stride]
+    if max_frames is not None:
+        files = files[:max_frames]
+    assert files, f"no images under {image_dir}"
+    out = []
+    for p in files:
+        img = Image.open(p).convert("RGB")
+        w, h = img.size
+        scale = size / max(w, h)
+        nw, nh = round(w * scale), round(h * scale)
+        img = img.resize((nw, nh), Image.LANCZOS)
+        cw, ch = (nw // 16) * 16, (nh // 16) * 16
+        left, top = (nw - cw) // 2, (nh - ch) // 2
+        img = img.crop((left, top, left + cw, top + ch))
+        out.append(np.asarray(img, np.float32) / 255.0)
+    return np.stack(out).transpose(0, 3, 1, 2), [p.name for p in files]
+
+
+def save_stage1_outputs(out_dir: str, images01: np.ndarray,
+                        scene: alignment.AlignedScene) -> None:
+    """Write the flat stage-1 artifact layout (base_opt.py:358-425)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    F = images01.shape[0]
+    for i in range(F):
+        img = (images01[i].transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(img).save(out / f"frame_{i:04d}.png")
+        np.save(out / f"frame_{i:04d}.npy", scene.depths[i])
+        np.save(out / f"conf_{i:04d}.npy", scene.im_conf[i])
+        np.save(out / f"dyna_avg_{i:04d}.npy", scene.dyna_avg[i])
+        np.save(out / f"dyna_max_{i:04d}.npy", scene.dyna_max[i])
+        Image.fromarray(
+            (scene.dynamic_masks[i] * 255).astype(np.uint8)).save(
+            out / f"dynamic_mask_{i:04d}.png")
+    pos, quat = trajectory.c2w_to_tum(scene.poses_c2w.astype(np.float64))
+    trajectory.write_tum(str(out / "pred_traj.txt"), pos, quat)
+    np.savetxt(out / "pred_intrinsics.txt",
+               scene.intrinsics.reshape(F, 9), fmt="%.6f")
+
+
+@dataclasses.dataclass
+class Stage1Result:
+    scene: alignment.AlignedScene
+    n_frames: int
+    out_dir: str
+
+
+def run_scene(
+    image_dir: str,
+    out_dir: str,
+    model: AsymmetricCroCo3D,
+    model_params,
+    *,
+    scene_graph: str | None = None,
+    aligner_cfg: alignment.AlignerConfig = alignment.AlignerConfig(),
+    size: int = 512,
+    stride: int = 1,
+    max_frames: int | None = None,
+    flows=None,
+    verbose=print,
+) -> Stage1Result:
+    images01, names = load_frames(image_dir, size=size, stride=stride,
+                                  max_frames=max_frames)
+    F = images01.shape[0]
+    graph = scene_graph or pairs.eval_scene_graph(F)
+    edges = pairs.make_pairs(F, graph, symmetrize=True)
+    verbose(f"stage1: {F} frames, graph {graph} -> {len(edges)} edges")
+
+    preds = inference.run_pairs(model, model_params, images01, edges)
+    verbose("stage1: pairwise inference done; aligning...")
+
+    scene = alignment.align(
+        edges, preds.pred_i, preds.pred_j, preds.conf_i, preds.conf_j,
+        preds.mask_i, aligner_cfg, flows=flows)
+    verbose(f"stage1: alignment loss {scene.final_loss:.5f}")
+
+    save_stage1_outputs(out_dir, images01, scene)
+    return Stage1Result(scene=scene, n_frames=F, out_dir=out_dir)
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--image_dir", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--ckpt", required=True,
+                    help="torch .pth checkpoint (e.g. Kai422kx/das3r)")
+    ap.add_argument("--scene_graph", default=None)
+    ap.add_argument("--n_iter", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--motion_mask_thre", type=float, default=0.35)
+    args = ap.parse_args(argv)
+
+    from das3r_tpu.models.croco.convert import (convert_torch_state_dict,
+                                                load_torch_checkpoint)
+    import jax
+
+    model = AsymmetricCroCo3D(Dust3rConfig())
+    params = jax.tree.map(
+        __import__("jax.numpy", fromlist=["asarray"]).asarray,
+        convert_torch_state_dict(load_torch_checkpoint(args.ckpt)))
+    cfg = alignment.AlignerConfig(niter=args.n_iter, lr=args.lr,
+                                  motion_mask_thre=args.motion_mask_thre)
+    run_scene(args.image_dir, args.output_dir, model, params,
+              scene_graph=args.scene_graph, aligner_cfg=cfg,
+              stride=args.stride, max_frames=args.max_frames)
+
+
+if __name__ == "__main__":
+    main()
