@@ -1,0 +1,61 @@
+"""Monocular/video depth evaluation — abs-rel / delta metrics with
+least-squares or median scale(-shift) alignment (reference
+dynamic_predictor/dust3r/depth_eval.py:94-148+).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DepthMetrics:
+    abs_rel: float
+    sq_rel: float
+    rmse: float
+    rmse_log: float
+    delta_1: float   # d < 1.25
+    delta_2: float   # d < 1.25^2
+    delta_3: float   # d < 1.25^3
+
+
+def align_depth(pred: np.ndarray, gt: np.ndarray, valid: np.ndarray,
+                mode: str = "scale&shift"):
+    """Align pred to gt over valid pixels. Returns aligned pred."""
+    p = pred[valid].astype(np.float64)
+    g = gt[valid].astype(np.float64)
+    if mode == "scale&shift":
+        A = np.stack([p, np.ones_like(p)], 1)
+        (s, t), *_ = np.linalg.lstsq(A, g, rcond=None)
+        return pred * s + t
+    if mode == "scale":
+        s = np.median(g) / max(np.median(p), 1e-12)
+        return pred * s
+    if mode == "none":
+        return pred
+    raise ValueError(mode)
+
+
+def depth_metrics(pred: np.ndarray, gt: np.ndarray,
+                  valid: np.ndarray | None = None,
+                  align: str = "scale&shift",
+                  min_depth: float = 1e-3,
+                  max_depth: float = 80.0) -> DepthMetrics:
+    """Per-sequence (or per-frame) depth metrics; pred/gt any same shape."""
+    if valid is None:
+        valid = np.isfinite(gt)
+    valid = valid & (gt > min_depth) & (gt < max_depth) & np.isfinite(pred)
+    pred = align_depth(pred, gt, valid, align)
+    p = np.clip(pred[valid], min_depth, None)
+    g = gt[valid]
+    thresh = np.maximum(p / g, g / p)
+    err = p - g
+    return DepthMetrics(
+        abs_rel=float(np.mean(np.abs(err) / g)),
+        sq_rel=float(np.mean(err ** 2 / g)),
+        rmse=float(np.sqrt(np.mean(err ** 2))),
+        rmse_log=float(np.sqrt(np.mean((np.log(p) - np.log(g)) ** 2))),
+        delta_1=float(np.mean(thresh < 1.25)),
+        delta_2=float(np.mean(thresh < 1.25 ** 2)),
+        delta_3=float(np.mean(thresh < 1.25 ** 3)))
