@@ -87,6 +87,7 @@ def run_scene(
     stride: int = 1,
     max_frames: int | None = None,
     flows=None,
+    raft_params=None,
     verbose=print,
 ) -> Stage1Result:
     images01, names = load_frames(image_dir, size=size, stride=stride,
@@ -98,6 +99,12 @@ def run_scene(
 
     preds = inference.run_pairs(model, model_params, images01, edges)
     verbose("stage1: pairwise inference done; aligning...")
+
+    if flows is None and raft_params is not None \
+            and aligner_cfg.flow_loss_weight > 0:
+        from das3r_tpu.predictor.flow import compute_edge_flows
+        verbose("stage1: computing RAFT flows for the alignment flow loss")
+        flows = compute_edge_flows(raft_params, images01, edges)
 
     scene = alignment.align(
         edges, preds.pred_i, preds.pred_j, preds.conf_i, preds.conf_j,
