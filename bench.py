@@ -19,7 +19,7 @@ BENCH_TARGET_MPIX = 6.0
 
 N_GAUSSIANS = 100_000
 HEIGHT, WIDTH = 384, 512
-ITERS = 10
+ITERS = 30
 
 
 def main():
@@ -44,18 +44,24 @@ def main():
                                        params.conf_static[0])
         return ph.loss
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    # Each iteration's pose depends on the previous iteration's gradient:
+    # the chain defeats any execution memoization in the device transport
+    # and forces sequential execution, so wall-clock / iters is honest.
+    @jax.jit
+    def step(params, pose7):
+        g_params, g_pose = jax.grad(loss_fn, argnums=(0, 1))(params, pose7)
+        feedback = 1e-12 * (jnp.sum(g_pose) + jnp.sum(g_params.xyz))
+        return g_params, pose7 + feedback
 
     pose = poses.pose(0)
-    g = step(params, pose)                   # compile + warm up
-    jax.block_until_ready(g)
-    g = step(params, pose)
-    jax.block_until_ready(g)
+    _, pose_w = step(params, pose)           # compile + warm up
+    jax.block_until_ready(pose_w)
 
     t0 = time.perf_counter()
+    p = pose + 1e-6
     for _ in range(ITERS):
-        g = step(params, pose)
-    jax.block_until_ready(g)
+        g, p = step(params, p)
+    jax.block_until_ready((g, p))
     dt = time.perf_counter() - t0
 
     mpix_s = HEIGHT * WIDTH * ITERS / dt / 1e6

@@ -69,9 +69,21 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     flat_gid = jnp.broadcast_to(
         order[:, None].astype(jnp.int32), (n, d_cap)).reshape(-1)
 
-    # Stable sort by tile keeps depth order inside each tile segment.
-    sorted_tile, sorted_gid = jax.lax.sort(
-        (flat_tile, flat_gid), dimension=0, is_stable=True, num_keys=1)
+    # Sort dup entries by tile, depth-stable. When (tile, depth-rank) packs
+    # into 32 bits, ONE unstable single-key sort of packed uint32 keys
+    # replaces the stable two-array sort: a Gaussian touches a tile at most
+    # once, so (tile * N + depth_rank) is unique, and ordering by it equals
+    # tile-major, depth-minor — exactly the stable-sort result.
+    if (s.n_tiles + 1) * n < 2**32:
+        rank = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
+        packed = (tile.astype(jnp.uint32) * jnp.uint32(n) + rank
+                  ).reshape(-1)
+        sorted_packed, sorted_gid = jax.lax.sort(
+            (packed, flat_gid), dimension=0, num_keys=1)
+        sorted_tile = (sorted_packed // jnp.uint32(n)).astype(jnp.int32)
+    else:
+        sorted_tile, sorted_gid = jax.lax.sort(
+            (flat_tile, flat_gid), dimension=0, is_stable=True, num_keys=1)
 
     tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tile, tile_ids, side="left")

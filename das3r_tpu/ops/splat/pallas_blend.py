@@ -177,8 +177,18 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
     g = cot_ref[:, :]                                # [P, 3] dL/d(tile color)
     grad_ref[:, :] = jnp.zeros((N_ATTR, K), jnp.float32)
 
-    # ---- phase 1: forward replay, store T at the START of each chunk
-    def fbody(c, T):
+    # ---- phase 1: forward replay, store T at the START of each chunk.
+    # Early exit mirrors the forward kernel: once every pixel's
+    # transmittance is below eps (or the live count is exhausted) later
+    # chunks contribute nothing — and therefore receive zero gradient, so
+    # phase 2 can skip them too.
+    def fcond(state):
+        c, T = state
+        return (c < pl.cdiv(count, chunk)) & (
+            jnp.max(T) >= s.transmittance_eps)
+
+    def fbody(state):
+        c, T = state
         tin_scratch[c, :, :] = T
         _, _, _, _, _, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
@@ -187,10 +197,10 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
         t_after = T * p_incl
         contribute = valid & (t_after >= s.transmittance_eps)
         t_cand = jnp.where(contribute, t_after, T)
-        return jnp.min(t_cand, axis=1, keepdims=True)
+        return c + 1, jnp.min(t_cand, axis=1, keepdims=True)
 
-    T_final = jax.lax.fori_loop(0, n_chunks, fbody, jnp.ones((P, 1),
-                                                            jnp.float32))
+    n_stop, T_final = jax.lax.while_loop(
+        fcond, fbody, (0, jnp.ones((P, 1), jnp.float32)))
 
     # ---- phase 2: reverse sweep
     bg = bg_ref[0, :].reshape(1, 3)
@@ -198,7 +208,7 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
     S_init = gbg * T_final                           # bg term of the suffix
 
     def bbody(i, S):
-        c = n_chunks - 1 - i
+        c = n_stop - 1 - i
         T_in = tin_scratch[c, :, :]
         dx, dy, power, alpha_raw, alpha, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
@@ -248,7 +258,7 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
         # suffix carry for the previous (nearer) chunk
         return jnp.sum(e, axis=1, keepdims=True) + S
 
-    jax.lax.fori_loop(0, n_chunks, bbody, S_init)
+    jax.lax.fori_loop(0, n_stop, bbody, S_init)
 
 
 def _pick_chunk(K: int) -> int:
