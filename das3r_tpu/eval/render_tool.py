@@ -46,10 +46,37 @@ def load_gaussians_ply(path: str, max_sh_degree: int = 3):
     return params, meta, jnp.asarray(d["conf_static"], jnp.float32)
 
 
-def images_to_video(image_paths, out_path: str, fps: int = 15):
-    import imageio.v2 as imageio
-    frames = [imageio.imread(p) for p in image_paths]
-    imageio.mimwrite(out_path, frames, fps=fps)
+def images_to_video(image_paths, out_path: str, fps: int = 15) -> str:
+    """Encode frames to video. Prefers mp4 (imageio-ffmpeg or a system
+    ffmpeg); falls back to an animated GIF when no encoder exists (this
+    image ships neither ffmpeg nor imageio[ffmpeg]). Returns the path
+    actually written."""
+    import shutil
+    import subprocess
+
+    try:
+        import imageio.v2 as imageio
+        frames = [imageio.imread(p) for p in image_paths]
+        imageio.mimwrite(out_path, frames, fps=fps)
+        return out_path
+    except Exception:
+        pass
+    if shutil.which("ffmpeg"):
+        list_file = out_path + ".frames.txt"
+        with open(list_file, "w") as f:
+            for p in image_paths:
+                f.write(f"file '{os.path.abspath(p)}'\n")
+        subprocess.run(
+            ["ffmpeg", "-y", "-r", str(fps), "-f", "concat", "-safe", "0",
+             "-i", list_file, "-pix_fmt", "yuv420p", out_path], check=True)
+        os.remove(list_file)
+        return out_path
+    gif_path = os.path.splitext(out_path)[0] + ".gif"
+    imgs = [Image.open(p) for p in image_paths]
+    imgs[0].save(gif_path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    print(f"no mp4 encoder available; wrote {gif_path} instead")
+    return gif_path
 
 
 def render_sets(source_path: str, model_path: str, iteration: int,

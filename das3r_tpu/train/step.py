@@ -104,6 +104,38 @@ def train_step(
     return new_state, metrics
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"))
+def train_chunk(
+    state: TrainState,
+    meta: GaussianMeta,
+    uids: jax.Array,           # [C] int32 frame schedule for this chunk
+    gt_images: jax.Array,      # [F, 3, H, W] full stack (device-resident)
+    fovx: jax.Array,           # [F]
+    fovy: jax.Array,
+    bg: jax.Array,
+    settings: RasterSettings,
+    cfg: OptimizationConfig,
+    spatial_lr_scale: float = 1.0,
+    optim_pose: bool = True,
+):
+    """Run len(uids) training iterations in ONE XLA computation via
+    lax.scan — the TPU-native loop shape: a single dispatch per chunk, no
+    per-iteration host round trips (which cost tens of ms on a local host
+    and seconds over remote transports). Returns (state, StepMetrics with
+    leading chunk axis)."""
+
+    def body(state, uid):
+        new_state, metrics = train_step(
+            state, meta, uid, gt_images[uid], fovx[uid], fovy[uid], bg,
+            settings, cfg, spatial_lr_scale=spatial_lr_scale,
+            optim_pose=optim_pose)
+        return new_state, metrics
+
+    return jax.lax.scan(body, state, uids)
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "cfg"))
 def test_pose_step(
     tp_state: TestPoseState,

@@ -2,17 +2,22 @@
 and ``train_test_psnr.py`` (novel-view PSNR protocol), as a library function
 plus a CLI.
 
-Loop semantics mirror the reference (SURVEY.md §3.2/§3.4):
-  * random camera WITHOUT replacement per epoch (viewpoint_stack pop);
-  * SH degree bumped every 3000 iterations (static -> at most 3 recompiles);
-  * main Adam always steps, camera Adam gated on frame PSNR;
-  * eval mode: when the train stack empties, one pass over held-out test
-    cameras optimizing only their poses (working version of the reference's
-    no-op — disable with optim_test_pose=False for strict parity);
+Loop semantics mirror the reference (SURVEY.md §3.2/§3.4) but the loop SHAPE
+is TPU-native: the per-epoch frame schedule is precomputed on the host
+(random without replacement, like the reference's viewpoint_stack pops) and
+each epoch executes as ONE jitted ``lax.scan`` chunk — no per-iteration host
+round trip and no device->host metric fetches except at report/save points.
+
+  * main Adam always steps; camera Adam gated on frame PSNR (train_gui
+    :581-586);
+  * SH degree bumps every 3000 iterations (static per chunk; chunks are
+    split at bump boundaries);
+  * eval mode: a test-pose-only pass over held-out cameras at every epoch
+    boundary (the working version of train_test_psnr.py:109-149 — see
+    step.test_pose_step docstring for the reference's silent no-op);
   * testing_iterations: masked test-view L1/PSNR appended to test_log.txt in
     the reference's exact line format (scrapers parse it);
-  * saving_iterations: PLY snapshot + pose npy; checkpoint_iterations: full
-    state .npz.
+  * saving_iterations: PLY + pose npy; checkpoint_iterations: state .npz.
 """
 from __future__ import annotations
 
@@ -31,7 +36,6 @@ from das3r_tpu.models import render as render_mod
 from das3r_tpu.train import checkpoint as ckpt
 from das3r_tpu.train import optim, scene_setup, step as step_mod
 from das3r_tpu.train.config import ModelConfig, OptimizationConfig, to_json
-from das3r_tpu.train.loss import masked_test_loss
 from das3r_tpu.utils.image import psnr as psnr_fn
 
 
@@ -46,6 +50,29 @@ class TrainResult:
 
 def _to_device_stack(a):
     return jnp.asarray(a, jnp.float32)
+
+
+def _plan_chunks(iterations: int, n_frames: int, seed: int):
+    """Host-side schedule: shuffled-per-epoch uids, split into chunks at
+    epoch AND sh-degree-bump (every 3000 iters) boundaries.
+    Returns list of (start_iter, uid_array)."""
+    rng = random.Random(seed)
+    uids: list[int] = []
+    while len(uids) < iterations:
+        epoch = list(range(n_frames))
+        rng.shuffle(epoch)
+        uids.extend(epoch)
+    uids = uids[:iterations]
+
+    boundaries = {0, iterations}
+    boundaries.update(range(0, iterations, n_frames))        # epoch starts
+    boundaries.update(b for b in range(3000, iterations, 3000))
+    cuts = sorted(boundaries)
+    chunks = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if b > a:
+            chunks.append((a, np.asarray(uids[a:b], np.int32)))
+    return chunks
 
 
 def train_scene(
@@ -88,92 +115,98 @@ def train_scene(
         else:
             test_masks = jnp.zeros_like(test_gt)
 
-    rng = random.Random(seed)
-    stack: list[int] = []
-    sh_degree = 0
-    last_loss = float("nan")
+    chunks = _plan_chunks(cfg.iterations, scene.n_frames, seed)
+    events = sorted(set(testing_iterations) | set(saving_iterations)
+                    | set(checkpoint_iterations))
+    metric_handles = []          # (iter_range, device metrics) — fetched late
+    last_loss_handle = None
     test_psnr_last = None
     t0 = time.perf_counter()
-    it_timed = 0
 
-    for it in range(1, cfg.iterations + 1):
-        if it % 3000 == 0 and sh_degree < scene.max_sh_degree:
-            sh_degree += 1
+    for start, uids in chunks:
+        sh_degree = min(start // 3000, scene.max_sh_degree)
+        if settings.sh_degree != sh_degree:
             settings = dataclasses.replace(settings, sh_degree=sh_degree)
 
-        if not stack:
-            stack = list(range(scene.n_frames))
-            rng.shuffle(stack)
-            epoch_end = True
-        else:
-            epoch_end = False
+        state, metrics = step_mod.train_chunk(
+            state, bundle.meta, jnp.asarray(uids), gt_images, fovx, fovy,
+            bg, settings, cfg, spatial_lr_scale=scene.spatial_lr_scale,
+            optim_pose=optim_pose)
+        end = start + len(uids)
+        metric_handles.append((end, metrics))
+        last_loss_handle = metrics.loss
 
-        uid = stack.pop()
-        state, metrics = step_mod.train_step(
-            state, bundle.meta, jnp.asarray(uid), gt_images[uid],
-            fovx[uid], fovy[uid], bg, settings, cfg,
-            spatial_lr_scale=scene.spatial_lr_scale, optim_pose=optim_pose)
-        it_timed += 1
-
-        # test-pose pass when the train stack has just been refilled
-        # (train_test_psnr.py:109-149 runs it when the stack empties)
-        if (epoch_end and it > 1 and test is not None and optim_test_pose):
-            order = list(range(test.n_frames))
-            rng.shuffle(order)
-            for tuid in order:
+        # test-pose pass at epoch boundaries (train stack just refilled)
+        if test is not None and optim_test_pose and end < cfg.iterations:
+            for tuid in np.random.default_rng(seed + end).permutation(
+                    test.n_frames):
                 tp_state, _, _ = step_mod.test_pose_step(
-                    tp_state, state.params, bundle.meta, jnp.asarray(tuid),
-                    test_gt[tuid], test_masks[tuid], test_fovx[tuid],
-                    test_fovy[tuid], bg, state.step, settings, cfg)
+                    tp_state, state.params, bundle.meta,
+                    jnp.asarray(int(tuid)), test_gt[int(tuid)],
+                    test_masks[int(tuid)], test_fovx[int(tuid)],
+                    test_fovy[int(tuid)], bg, state.step, settings, cfg)
 
-        if it % log_every == 0 or it == cfg.iterations:
-            last_loss = float(metrics.loss)
-            progress(f"[ITER {it}] loss {last_loss:.5f} "
-                     f"psnr {float(metrics.psnr):.2f} "
-                     f"cam_step {bool(metrics.cam_stepped)}")
+        # host-sync events (reports/saves) — the only device fetches
+        for ev in [e for e in events if start < e <= end]:
+            if ev in testing_iterations and test is not None:
+                test_psnr_last = _report_test(
+                    model_path, ev, state, tp_state, bundle, settings,
+                    test_gt, test_masks, test_fovx, test_fovy, bg,
+                    progress)
+            if ev in saving_iterations and model_path:
+                pc_dir = os.path.join(model_path, "point_cloud",
+                                      f"iteration_{ev}")
+                ckpt.save_scene_ply(
+                    os.path.join(pc_dir, "point_cloud.ply"),
+                    state.params, bundle.meta)
+                ckpt.save_pose_npy(
+                    os.path.join(model_path, "pose", f"pose_{ev}.npy"),
+                    state.poses)
+            if ev in checkpoint_iterations and model_path:
+                ckpt.save_train_state(
+                    os.path.join(model_path, f"chkpnt{ev}.npz"), state)
 
-        if it in testing_iterations and test is not None:
-            test_psnr_last = _report_test(
-                model_path, it, state, tp_state, bundle, settings,
-                test_gt, test_masks, test_fovx, test_fovy, bg, progress)
+        if log_every and (start // log_every != end // log_every
+                          or end == cfg.iterations):
+            lossv = float(np.asarray(metrics.loss)[-1])
+            psnrv = float(np.asarray(metrics.psnr)[-1])
+            progress(f"[ITER {end}] loss {lossv:.5f} psnr {psnrv:.2f}")
 
-        if it in saving_iterations and model_path:
-            pc_dir = os.path.join(model_path, "point_cloud",
-                                  f"iteration_{it}")
-            ckpt.save_scene_ply(os.path.join(pc_dir, "point_cloud.ply"),
-                                state.params, bundle.meta)
-            ckpt.save_pose_npy(os.path.join(model_path, "pose",
-                                            f"pose_{it}.npy"), state.poses)
-
-        if it in checkpoint_iterations and model_path:
-            ckpt.save_train_state(
-                os.path.join(model_path, f"chkpnt{it}.npz"), state)
-
+    jax.block_until_ready(state.params.xyz)
     dt = time.perf_counter() - t0
+    last_loss = (float(np.asarray(last_loss_handle)[-1])
+                 if last_loss_handle is not None else float("nan"))
     return TrainResult(state=state, test_pose_state=tp_state,
                        last_loss=last_loss, test_psnr=test_psnr_last,
-                       iters_per_sec=it_timed / max(dt, 1e-9))
+                       iters_per_sec=cfg.iterations / max(dt, 1e-9))
 
 
 def _report_test(model_path, iteration, state, tp_state, bundle, settings,
                  test_gt, test_masks, test_fovx, test_fovy, bg, progress):
-    """Masked test-view L1/PSNR, appended to test_log.txt in the reference's
+    """Masked test-view L1/PSNR over ALL test frames in one jitted call
+    (one device->host fetch), appended to test_log.txt in the reference's
     exact format (train_test_psnr.training_report :241-302)."""
-    l1_sum, psnr_sum, n = 0.0, 0.0, 0
-    for tuid in range(test_gt.shape[0]):
-        pose = tp_state.poses.pose(tuid)
-        out = render_mod.render(state.params, bundle.meta, settings, pose,
-                                bg, test_fovx[tuid], test_fovy[tuid],
-                                mode="train")
+
+    @jax.jit
+    def eval_one(params, poses, uid):
+        pose = poses.pose(uid)
+        out = render_mod.render(params, bundle.meta, settings, pose, bg,
+                                test_fovx[uid], test_fovy[uid], mode="train")
         img = jnp.clip(out.image, 0.0, 1.0)
-        gt = jnp.clip(test_gt[tuid], 0.0, 1.0)
-        m = 1.0 - test_masks[tuid]
+        gt = jnp.clip(test_gt[uid], 0.0, 1.0)
+        m = 1.0 - test_masks[uid]
         p = img * m
         g = gt * m
-        l1_sum += float(jnp.abs(p - g).mean())
-        psnr_sum += float(psnr_fn(p[None], g[None]).mean())
-        n += 1
-    l1_t, psnr_t = l1_sum / n, psnr_sum / n
+        return jnp.abs(p - g).mean(), psnr_fn(p[None], g[None]).mean()
+
+    n = test_gt.shape[0]
+    l1s, psnrs = [], []
+    for tuid in range(n):
+        l1, ps = eval_one(state.params, tp_state.poses, jnp.asarray(tuid))
+        l1s.append(l1)
+        psnrs.append(ps)
+    l1_t = float(np.asarray(jnp.stack(l1s)).mean())
+    psnr_t = float(np.asarray(jnp.stack(psnrs)).mean())
     line = f"[ITER {iteration}] Evaluating test: L1 {l1_t} PSNR {psnr_t}"
     progress(line)
     if model_path:
@@ -209,6 +242,7 @@ def main(argv=None):
     ap.add_argument("--save_iterations", type=int, nargs="*", default=None)
     ap.add_argument("--checkpoint_iterations", type=int, nargs="*",
                     default=[])
+    ap.add_argument("--log_every", type=int, default=50)
     args = ap.parse_args(argv)
 
     data = readers.load_scene(args.source_path, eval_mode=args.eval,
@@ -235,7 +269,8 @@ def main(argv=None):
         optim_pose=args.optim_pose, optim_test_pose=args.optim_test_pose,
         testing_iterations=set(test_iters),
         saving_iterations=set(save_iters),
-        checkpoint_iterations=set(args.checkpoint_iterations))
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        log_every=args.log_every)
     print(f"done: loss {result.last_loss:.5f} "
           f"iters/s {result.iters_per_sec:.2f} "
           f"test_psnr {result.test_psnr}")
