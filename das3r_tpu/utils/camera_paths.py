@@ -1,0 +1,134 @@
+"""Camera-path generation & interpolation for novel-view video rendering.
+
+Covers the reference's path tooling surface: pose interpolation between
+training cameras (render.py's ``pose_interpolated`` input / utils/
+camera_utils.py:136-229), an orbit camera for interactive viewing
+(utils/gui_utils.py:65-151), and an ellipse path fitted to the training
+trajectory with constant-speed resampling (utils/pose_utils.py:302-569 +
+utils/stepfun.py, simplified to the parts the pipeline can consume).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from das3r_tpu.data.colmap import qvec2rotmat, rotmat2qvec
+
+
+def slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    """Spherical interpolation of wxyz quaternions."""
+    q0 = q0 / np.linalg.norm(q0)
+    q1 = q1 / np.linalg.norm(q1)
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        out = q0 + t * (q1 - q0)
+        return out / np.linalg.norm(out)
+    th = np.arccos(np.clip(d, -1, 1))
+    return (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+
+
+def interpolate_poses(poses: np.ndarray, factor: int = 4) -> np.ndarray:
+    """[F, 4, 4] -> [(F-1)*factor + 1, 4, 4] with slerp rotation + lerp
+    translation between consecutive poses."""
+    out = []
+    for i in range(len(poses) - 1):
+        q0 = rotmat2qvec(poses[i, :3, :3])
+        q1 = rotmat2qvec(poses[i + 1, :3, :3])
+        for k in range(factor):
+            t = k / factor
+            m = np.eye(4)
+            m[:3, :3] = qvec2rotmat(slerp(q0, q1, t))
+            m[:3, 3] = (1 - t) * poses[i, :3, 3] + t * poses[i + 1, :3, 3]
+            out.append(m)
+    out.append(poses[-1].copy())
+    return np.stack(out)
+
+
+def resample_const_speed(positions: np.ndarray, n_out: int) -> np.ndarray:
+    """Arc-length (constant-speed) resampling of a polyline [N, d] — the
+    role stepfun.sample plays in the ellipse path (pose_utils.py:345)."""
+    seg = np.linalg.norm(np.diff(positions, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    total = cum[-1]
+    targets = np.linspace(0, total, n_out)
+    idx = np.clip(np.searchsorted(cum, targets) - 1, 0, len(seg) - 1)
+    t = (targets - cum[idx]) / np.maximum(seg[idx], 1e-12)
+    return positions[idx] * (1 - t[:, None]) + positions[idx + 1] * t[:, None]
+
+
+def look_at(position: np.ndarray, target: np.ndarray,
+            up=np.asarray([0.0, -1.0, 0.0])) -> np.ndarray:
+    """c2w matrix looking from position toward target (OpenCV convention:
+    +z forward)."""
+    fwd = target - position
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    m = np.eye(4)
+    m[:3, 0] = right
+    m[:3, 1] = down
+    m[:3, 2] = fwd
+    m[:3, 3] = position
+    return m
+
+
+def ellipse_path(poses: np.ndarray, n_frames: int = 120,
+                 z_offset: float = 0.0) -> np.ndarray:
+    """Elliptical orbit fitted to the xy-extent of the camera centers,
+    looking at their centroid (simplified pose_utils.generate_ellipse_path
+    with constant-speed resampling)."""
+    centers = poses[:, :3, 3]
+    centroid = centers.mean(0)
+    radii = (np.percentile(np.abs(centers - centroid), 90, axis=0)
+             .clip(1e-3))
+    theta = np.linspace(0, 2 * np.pi, 4 * n_frames)
+    pts = np.stack([
+        centroid[0] + radii[0] * np.cos(theta),
+        centroid[1] + radii[1] * np.sin(theta),
+        np.full_like(theta, centroid[2] + z_offset)], -1)
+    pts = resample_const_speed(pts, n_frames)
+    return np.stack([look_at(p, centroid) for p in pts])
+
+
+class OrbitCamera:
+    """Interactive orbit camera (utils/gui_utils.py:65-151): yaw/pitch
+    orbit, pan, dolly; exposes the c2w pose and intrinsics."""
+
+    def __init__(self, width: int, height: int, radius: float = 2.0,
+                 fovy_deg: float = 60.0):
+        self.W = width
+        self.H = height
+        self.radius = radius
+        self.fovy = np.deg2rad(fovy_deg)
+        self.center = np.zeros(3)
+        self.yaw = 0.0
+        self.pitch = 0.0
+
+    def orbit(self, dx: float, dy: float):
+        self.yaw += 0.005 * dx
+        self.pitch = float(np.clip(self.pitch + 0.005 * dy,
+                                   -np.pi / 2 + 1e-3, np.pi / 2 - 1e-3))
+
+    def scale(self, delta: float):
+        self.radius = float(np.clip(self.radius * (1.1 ** -delta),
+                                    1e-3, 1e6))
+
+    def pan(self, dx: float, dy: float, dz: float = 0.0):
+        R = self.pose[:3, :3]
+        self.center = self.center + 1e-3 * self.radius * (
+            R @ np.asarray([-dx, -dy, dz]))
+
+    @property
+    def pose(self) -> np.ndarray:
+        cp, sp = np.cos(self.pitch), np.sin(self.pitch)
+        cy, sy = np.cos(self.yaw), np.sin(self.yaw)
+        position = self.center + self.radius * np.asarray(
+            [cp * sy, -sp, -cp * cy])
+        return look_at(position, self.center)
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        focal = self.H / (2 * np.tan(self.fovy / 2))
+        return np.asarray([focal, focal, self.W / 2, self.H / 2])

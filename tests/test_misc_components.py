@@ -1,0 +1,117 @@
+"""Camera paths, orbit camera, DAVIS mask harness, multihost helpers,
+benchmark-suite CLI plumbing."""
+import os
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from das3r_tpu.utils import camera_paths as cp
+
+
+class TestCameraPaths:
+    def test_slerp_endpoints_and_midpoint(self):
+        q0 = np.asarray([1.0, 0, 0, 0])
+        q1 = cp.rotmat2qvec(Rotation.from_euler("y", 90,
+                                                degrees=True).as_matrix())
+        np.testing.assert_allclose(cp.slerp(q0, q1, 0), q0, atol=1e-9)
+        np.testing.assert_allclose(np.abs(cp.slerp(q0, q1, 1)),
+                                   np.abs(q1), atol=1e-9)
+        mid = cp.slerp(q0, q1, 0.5)
+        R = cp.qvec2rotmat(mid)
+        ang = Rotation.from_matrix(R).magnitude()
+        assert np.degrees(ang) == pytest.approx(45, abs=1e-6)
+
+    def test_interpolate_poses(self):
+        poses = np.tile(np.eye(4), (3, 1, 1))
+        poses[1, :3, 3] = [1, 0, 0]
+        poses[2, :3, 3] = [1, 1, 0]
+        out = cp.interpolate_poses(poses, factor=2)
+        assert out.shape == (5, 4, 4)
+        np.testing.assert_allclose(out[1, :3, 3], [0.5, 0, 0], atol=1e-9)
+        np.testing.assert_allclose(out[-1], poses[-1], atol=1e-9)
+
+    def test_const_speed_resampling(self):
+        # polyline with uneven segment lengths -> uniform spacing out
+        pts = np.asarray([[0, 0], [0.1, 0], [1.0, 0]], float)
+        out = cp.resample_const_speed(pts, 11)
+        d = np.linalg.norm(np.diff(out, axis=0), axis=1)
+        np.testing.assert_allclose(d, 0.1, atol=1e-9)
+
+    def test_ellipse_path_looks_at_centroid(self):
+        rng = np.random.default_rng(0)
+        poses = np.tile(np.eye(4), (10, 1, 1))
+        poses[:, :3, 3] = rng.normal(0, 1, (10, 3))
+        path = cp.ellipse_path(poses, n_frames=24)
+        assert path.shape == (24, 4, 4)
+        centroid = poses[:, :3, 3].mean(0)
+        for m in path[:4]:
+            fwd = m[:3, 2]
+            to_c = centroid - m[:3, 3]
+            cos = np.dot(fwd, to_c) / np.linalg.norm(to_c)
+            assert cos > 0.99
+
+    def test_orbit_camera(self):
+        cam = cp.OrbitCamera(640, 480, radius=3.0)
+        p0 = cam.pose.copy()
+        cam.orbit(100, 0)
+        assert not np.allclose(cam.pose, p0)
+        cam.scale(2)
+        assert cam.radius < 3.0
+        # pose stays a rigid transform
+        R = cam.pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        f = cam.intrinsics
+        assert f[0] == pytest.approx(480 / (2 * np.tan(np.deg2rad(30))))
+
+
+class TestDavisEval:
+    def test_sequence_and_dataset(self, tmp_path):
+        from PIL import Image
+        from das3r_tpu.eval import davis_eval
+        pred_dir = tmp_path / "results" / "scene1"
+        gt_dir = tmp_path / "gt" / "scene1"
+        pred_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        m = np.zeros((32, 32), np.uint8)
+        m[8:20, 8:20] = 255
+        for i in range(3):
+            Image.fromarray(m).save(pred_dir / f"dynamic_mask_{i:04d}.png")
+            Image.fromarray(m).save(gt_dir / f"{i:05d}.png")
+        r = davis_eval.eval_sequence_masks(str(pred_dir), str(gt_dir))
+        assert r["J"] == 1.0 and r["n_frames"] == 3
+        table, summary = davis_eval.eval_dataset_masks(
+            str(tmp_path / "results"), str(tmp_path / "gt"), ["scene1"])
+        assert summary["mean_J"] == 1.0
+
+
+class TestMultihost:
+    def test_global_mesh_single_process(self):
+        import jax
+        from das3r_tpu.parallel import multihost
+        mesh = multihost.global_mesh()
+        assert mesh.shape["data"] * mesh.shape["tile"] == len(jax.devices())
+        assert multihost.is_primary()
+
+
+class TestBenchmarkSuiteCLI:
+    def test_masks_mode_end_to_end(self, tmp_path, capsys):
+        import sys
+        from PIL import Image
+        sys.path.insert(0, "scripts")
+        import run_benchmark_suite as suite
+        pred = tmp_path / "out" / "blackswan"
+        gt = tmp_path / "gt" / "blackswan"
+        pred.mkdir(parents=True)
+        gt.mkdir(parents=True)
+        m = np.zeros((16, 16), np.uint8)
+        m[4:10, 4:10] = 255
+        Image.fromarray(m).save(pred / "dynamic_mask_0000.png")
+        Image.fromarray(m).save(gt / "00000.png")
+        suite.main(["masks", "--dataset", "davis",
+                    "--data_root", str(tmp_path),
+                    "--output_root", str(tmp_path / "out"),
+                    "--gt_dynamic_mask", str(tmp_path / "gt"),
+                    "--scenes", "blackswan"])
+        out = capsys.readouterr().out
+        assert '"mean_J": 1.0' in out
