@@ -30,7 +30,8 @@ def main():
 
     settings = RasterSettings(
         image_height=HEIGHT, image_width=WIDTH, sh_degree=3,
-        max_per_tile=1024, max_tiles_per_gaussian=32)
+        max_per_tile=1024, max_tiles_per_gaussian=32,
+        max_total_entries=8 * N_GAUSSIANS)
     params, meta, poses = random_gaussian_scene(
         n=N_GAUSSIANS, n_frames=2, height=HEIGHT, width=WIDTH, seed=0)
     bg = jnp.zeros(3)

@@ -33,6 +33,7 @@ class TileBins(NamedTuple):
     count: jax.Array      # [T] int32 number of live slots (clamped to K)
     full_count: jax.Array  # [T] int32 pre-truncation count (overflow telemetry)
     dup_overflow: jax.Array  # [] int32 number of Gaussians whose rect was cut by D
+    entry_overflow: jax.Array  # [] int32 entries dropped by max_total_entries
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
@@ -65,25 +66,54 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     dup_valid = alive_sorted[:, None] & (d_idx < ntt[:, None])
     tile = jnp.where(dup_valid, tile, s.n_tiles).astype(jnp.int32)
 
-    flat_tile = tile.reshape(-1)                           # [N*D]
     flat_gid = jnp.broadcast_to(
         order[:, None].astype(jnp.int32), (n, d_cap)).reshape(-1)
+    entry_overflow = jnp.zeros((), jnp.int32)
 
-    # Sort dup entries by tile, depth-stable. When (tile, depth-rank) packs
-    # into 32 bits, ONE unstable single-key sort of packed uint32 keys
-    # replaces the stable two-array sort: a Gaussian touches a tile at most
-    # once, so (tile * N + depth_rank) is unique, and ordering by it equals
-    # tile-major, depth-minor — exactly the stable-sort result.
-    if (s.n_tiles + 1) * n < 2**32:
+    # Pack (tile, depth-rank) into one uint32 key: a Gaussian touches a
+    # tile at most once, so (tile * N + depth_rank) is unique and ordering
+    # by it equals tile-major depth-minor — a stable sort's result from ONE
+    # unstable single-key sort. (The dup-table row index IS the depth rank
+    # because rows were re-indexed into depth order above.)
+    packable = (s.n_tiles + 1) * n < 2**32
+    if packable:
         rank = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
-        packed = (tile.astype(jnp.uint32) * jnp.uint32(n) + rank
-                  ).reshape(-1)
+        packed = tile.astype(jnp.uint32) * jnp.uint32(n) + rank
+
+    if packable and s.max_total_entries is not None:
+        # Compact the (mostly padding) N*D table into a dense buffer before
+        # sorting: typical scenes fill only ~10-20% of the table, and the
+        # bitonic sort is the binning bottleneck. Entries beyond the cap
+        # belong to the FARTHEST Gaussians (rows are depth-ordered) and are
+        # dropped with telemetry.
+        e_cap = s.max_total_entries
+        base = jnp.cumsum(ntt) - ntt                      # [N] excl. prefix
+        pos = base[:, None] + d_idx                       # [N, D]
+        in_buf = dup_valid & (pos < e_cap)
+        pos = jnp.where(in_buf, pos, e_cap).reshape(-1)
+        total = base[-1] + ntt[-1]
+        entry_overflow = jnp.maximum(total - e_cap, 0).astype(jnp.int32)
+        sentinel = jnp.uint32((s.n_tiles + 1) * n - 1)
+        buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
+            jnp.where(in_buf, packed, sentinel).reshape(-1))[:-1]
+        buf_gid = jnp.zeros((e_cap + 1,), jnp.int32).at[pos].set(
+            flat_gid)[:-1]
         sorted_packed, sorted_gid = jax.lax.sort(
-            (packed, flat_gid), dimension=0, num_keys=1)
+            (buf_key, buf_gid), dimension=0, num_keys=1)
+        n_entries = e_cap
+    elif packable:
+        sorted_packed, sorted_gid = jax.lax.sort(
+            (packed.reshape(-1), flat_gid), dimension=0, num_keys=1)
+        n_entries = n * d_cap
+    else:
+        sorted_tile_arr, sorted_gid = jax.lax.sort(
+            (tile.reshape(-1), flat_gid), dimension=0, is_stable=True,
+            num_keys=1)
+        n_entries = n * d_cap
+    if packable:
         sorted_tile = (sorted_packed // jnp.uint32(n)).astype(jnp.int32)
     else:
-        sorted_tile, sorted_gid = jax.lax.sort(
-            (flat_tile, flat_gid), dimension=0, is_stable=True, num_keys=1)
+        sorted_tile = sorted_tile_arr
 
     tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_tile, tile_ids, side="left")
@@ -92,7 +122,8 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     count = jnp.minimum(full_count, s.max_per_tile)
 
     slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]   # [1, K]
-    gather_idx = jnp.clip(start[:, None] + slot, 0, n * d_cap - 1)
+    gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
     gid = sorted_gid[gather_idx]                           # [T, K]
     return TileBins(gid=gid, count=count, full_count=full_count,
-                    dup_overflow=dup_overflow)
+                    dup_overflow=dup_overflow,
+                    entry_overflow=entry_overflow)

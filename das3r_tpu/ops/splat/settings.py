@@ -28,6 +28,11 @@ class RasterSettings:
     alpha_floor: float = 1.0 / 255.0  # CUDA skip threshold
     transmittance_eps: float = 1e-4   # CUDA early-termination threshold
     alpha_clip: float = 0.99
+    # Optional compaction capacity for the binning sort: when set, the
+    # N*D duplication table is compacted to this many real entries before
+    # sorting (entries of the FARTHEST Gaussians beyond the cap are
+    # dropped, reported via TileBins.entry_overflow). None = exact.
+    max_total_entries: int | None = None
 
     @property
     def tiles_x(self) -> int:

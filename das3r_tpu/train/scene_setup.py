@@ -69,7 +69,10 @@ def build_scene(
         image_height=data.height, image_width=data.width,
         sh_degree=0,  # active degree starts at 0 (bumped every 3000 iters)
         tile=tile, max_per_tile=max_per_tile,
-        max_tiles_per_gaussian=max_tiles_per_gaussian)
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        # compact the binning sort; 8 entries/Gaussian covers typical
+        # scenes with slack (overflow telemetry in RasterAux)
+        max_total_entries=8 * params.xyz.shape[0])
 
     return SceneBundle(params=params, meta=meta, scene=scene, poses=poses,
                        test_poses=test_poses, settings=settings,

@@ -288,3 +288,43 @@ class TestGradients:
             dn = float(loss(pose0.at[i].add(-eps)))
             fd = (up - dn) / (2 * eps)
             assert float(g[i]) == pytest.approx(fd, rel=1e-4, abs=1e-6)
+
+
+class TestBinningCompaction:
+    def test_compacted_matches_exact(self):
+        """max_total_entries large enough -> identical image."""
+        import dataclasses
+        rng = np.random.default_rng(21)
+        base = RasterSettings(image_height=64, image_width=64,
+                              sh_degree=0, max_per_tile=256,
+                              max_tiles_per_gaussian=32)
+        compact = dataclasses.replace(base, max_total_entries=300 * 32)
+        means, scales, rots, ops, colors = make_scene(300, rng)
+        img_exact, _, _, _, _ = run_both(base, means, scales, rots, ops,
+                                         colors)
+        img_c, _, _, _, aux = run_both(compact, means, scales, rots, ops,
+                                       colors)
+        np.testing.assert_allclose(img_c, img_exact, atol=1e-6)
+
+    def test_overflow_drops_farthest(self):
+        import dataclasses
+        import jax
+        from das3r_tpu.ops.splat import preprocess as prep_fn, bin_gaussians
+        rng = np.random.default_rng(22)
+        settings = dataclasses.replace(
+            RasterSettings(image_height=32, image_width=32, sh_degree=0,
+                           max_per_tile=64, max_tiles_per_gaussian=16),
+            max_total_entries=8)
+        means, scales, rots, ops, colors = make_scene(50, rng)
+        view, proj, campos, tfx, tfy = make_camera(settings)
+        p = prep_fn(jnp.asarray(means), jnp.asarray(ops), settings,
+                    viewmatrix=jnp.asarray(view),
+                    projmatrix=jnp.asarray(proj),
+                    campos=jnp.asarray(campos),
+                    colors_precomp=jnp.asarray(colors),
+                    scales=jnp.asarray(scales),
+                    rotations=jnp.asarray(rots),
+                    tan_fovx=tfx, tan_fovy=tfy)
+        bins = bin_gaussians(p, settings)
+        assert int(bins.entry_overflow) > 0
+        assert int(bins.count.sum()) <= 8
