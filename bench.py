@@ -31,7 +31,7 @@ def main():
     settings = RasterSettings(
         image_height=HEIGHT, image_width=WIDTH, sh_degree=3,
         max_per_tile=1024, max_tiles_per_gaussian=32,
-        max_total_entries=8 * N_GAUSSIANS)
+        max_total_entries=8 * N_GAUSSIANS, depth_sort_bits=22)
     params, meta, poses = random_gaussian_scene(
         n=N_GAUSSIANS, n_frames=2, height=HEIGHT, width=WIDTH, seed=0)
     bg = jnp.zeros(3)

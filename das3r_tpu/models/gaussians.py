@@ -122,6 +122,7 @@ def init_from_frames(
     conf_thre: float = 1.0,
     capacity: int | None = None,
     spatial_lr_scale: float = 1.0,
+    max_points: int | None = 1_500_000,
 ):
     """Host-side scene init — ``create_from_cameras`` (reference :573-659).
 
@@ -150,6 +151,20 @@ def init_from_frames(
         pts_world[f] = cam @ R.T + t
 
     mask = confs.reshape(-1) > np.log(conf_thre)
+    if max_points and int(mask.sum()) > max_points:
+        # The reference unprojects EVERY passing pixel (dense init,
+        # gaussian_model.py:624-629) — 50 frames at 512x288 is ~7M points,
+        # beyond this chip's single-render budget. Keep the max_points
+        # HIGHEST-CONFIDENCE pixels; disable with max_points=None/0.
+        flat = confs.reshape(-1)
+        thresh = np.partition(np.where(mask, flat, -np.inf),
+                              -max_points)[-max_points]
+        mask = mask & (flat >= thresh)
+        # exact cap in case of threshold ties
+        extra = int(mask.sum()) - max_points
+        if extra > 0:
+            ties = np.where(mask & (flat == thresh))[0]
+            mask[ties[:extra]] = False
     pix_id = np.nonzero(mask)[0].astype(np.int32)
     n = pix_id.size
     pts = pts_world.reshape(-1, 3)[mask]

@@ -41,6 +41,12 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     n = prep.depth.shape[0]
     d_cap = s.max_tiles_per_gaussian
 
+    use_qdepth = (
+        s.depth_sort_bits > 0
+        and (s.n_tiles + 1) << s.depth_sort_bits <= 2**32)
+    if use_qdepth:
+        return _bin_quantized_depth(prep, settings)
+
     alive = prep.binnable
     # Global front-to-back order; stable so equal depths keep input order
     # (the CUDA radix sort over float bits is stable too).
@@ -124,6 +130,66 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]   # [1, K]
     gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
     gid = sorted_gid[gather_idx]                           # [T, K]
+    return TileBins(gid=gid, count=count, full_count=full_count,
+                    dup_overflow=dup_overflow,
+                    entry_overflow=entry_overflow)
+
+
+def _bin_quantized_depth(prep: Preprocessed,
+                         settings: RasterSettings) -> TileBins:
+    """Fast path: the sort key is (tile << bits | quantized depth), so the
+    global depth argsort disappears entirely (the CUDA rasterizer packs
+    float depth BITS the same way; we quantize to fit 32 bits next to the
+    tile id). Requires ``max_total_entries`` for the compact buffer."""
+    s = settings
+    n = prep.depth.shape[0]
+    d_cap = s.max_tiles_per_gaussian
+    bits = s.depth_sort_bits
+    e_cap = s.max_total_entries or n * d_cap
+
+    alive = prep.binnable
+    depth = jax.lax.stop_gradient(prep.depth)
+    dmin = jnp.min(jnp.where(alive, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(alive, depth, -jnp.inf))
+    scale = (2.0**bits - 1.0) / jnp.maximum(dmax - dmin, 1e-12)
+    depth_q = jnp.clip((depth - dmin) * scale, 0, 2.0**bits - 1
+                       ).astype(jnp.uint32)
+
+    width = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    ntt = jnp.where(alive, jnp.minimum(prep.n_tiles_touched, d_cap), 0)
+    dup_overflow = jnp.sum((prep.n_tiles_touched > d_cap).astype(jnp.int32))
+
+    d_idx = jnp.arange(d_cap, dtype=jnp.int32)[None, :]
+    ty = prep.rect_min[:, 1:2] + d_idx // width[:, None]
+    tx = prep.rect_min[:, 0:1] + d_idx % width[:, None]
+    tile = (ty * s.tiles_x + tx).astype(jnp.uint32)
+    dup_valid = alive[:, None] & (d_idx < ntt[:, None])
+    key = (tile << bits) | depth_q[:, None]
+    sentinel = jnp.uint32(((s.n_tiles + 1) << bits) - 1)
+
+    base = jnp.cumsum(ntt) - ntt
+    pos = base[:, None] + d_idx
+    in_buf = dup_valid & (pos < e_cap)
+    pos = jnp.where(in_buf, pos, e_cap).reshape(-1)
+    total = base[-1] + ntt[-1]
+    entry_overflow = jnp.maximum(total - e_cap, 0).astype(jnp.int32)
+
+    gids = jax.lax.broadcasted_iota(jnp.int32, (n, d_cap), 0).reshape(-1)
+    buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
+        jnp.where(in_buf, key, sentinel).reshape(-1))[:-1]
+    buf_gid = jnp.zeros((e_cap + 1,), jnp.int32).at[pos].set(gids)[:-1]
+    sorted_key, sorted_gid = jax.lax.sort(
+        (buf_key, buf_gid), dimension=0, num_keys=1)
+    sorted_tile = (sorted_key >> bits).astype(jnp.int32)
+
+    tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_tile, tile_ids, side="left")
+    end = jnp.searchsorted(sorted_tile, tile_ids, side="right")
+    full_count = (end - start).astype(jnp.int32)
+    count = jnp.minimum(full_count, s.max_per_tile)
+    slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(start[:, None] + slot, 0, e_cap - 1)
+    gid = sorted_gid[gather_idx]
     return TileBins(gid=gid, count=count, full_count=full_count,
                     dup_overflow=dup_overflow,
                     entry_overflow=entry_overflow)

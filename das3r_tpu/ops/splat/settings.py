@@ -33,6 +33,13 @@ class RasterSettings:
     # sorting (entries of the FARTHEST Gaussians beyond the cap are
     # dropped, reported via TileBins.entry_overflow). None = exact.
     max_total_entries: int | None = None
+    # When > 0, pack a depth quantized to this many bits into the sort key
+    # (tile << bits | depth_q) instead of exact depth ranks — removes the
+    # global N-element depth argsort from binning. Gaussians closer than
+    # (depth range / 2^bits) may blend in arbitrary relative order (the
+    # CUDA reference orders by full float32 bits; visually indistinguishable
+    # at >= 20 bits). 0 = exact rank path.
+    depth_sort_bits: int = 0
 
     @property
     def tiles_x(self) -> int:

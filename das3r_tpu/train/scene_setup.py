@@ -46,6 +46,7 @@ def build_scene(
     max_per_tile: int = 1024,
     max_tiles_per_gaussian: int = 32,
     tile: int = 16,
+    max_points: int | None = 1_500_000,
 ) -> SceneBundle:
     train = data.subset(data.train_idx)
     test = data.subset(data.test_idx) if len(data.test_idx) else None
@@ -57,7 +58,7 @@ def build_scene(
         dyna_avg=train.dyna_avg, poses_c2w=train.poses_c2w,
         focals=train.intrinsics[:, 0, 0], max_sh_degree=sh_degree,
         conf_thre=conf_thre, capacity=capacity,
-        spatial_lr_scale=spatial_lr_scale)
+        spatial_lr_scale=spatial_lr_scale, max_points=max_points)
 
     poses = init_pose_params(train.poses_w2c_colmap,
                              fovx=float(train.fovx[0]),
@@ -72,7 +73,8 @@ def build_scene(
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         # compact the binning sort; 8 entries/Gaussian covers typical
         # scenes with slack (overflow telemetry in RasterAux)
-        max_total_entries=8 * params.xyz.shape[0])
+        max_total_entries=8 * params.xyz.shape[0],
+        depth_sort_bits=22)
 
     return SceneBundle(params=params, meta=meta, scene=scene, poses=poses,
                        test_poses=test_poses, settings=settings,

@@ -57,7 +57,8 @@ def init_train_state(params: GaussianParams,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"))
+    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"),
+    donate_argnames=("state",))
 def train_step(
     state: TrainState,
     meta: GaussianMeta,
@@ -106,7 +107,8 @@ def train_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"))
+    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"),
+    donate_argnames=("state",))
 def train_chunk(
     state: TrainState,
     meta: GaussianMeta,

@@ -121,17 +121,42 @@ def train_scene(
     metric_handles = []          # (iter_range, device metrics) — fetched late
     last_loss_handle = None
     test_psnr_last = None
+    use_chunks = True            # fall back to per-step dispatch if the
+                                 # scan program exceeds compiler limits
+                                 # (observed on very large scenes)
     t0 = time.perf_counter()
+
+    def run_chunk(state, uids, settings):
+        nonlocal use_chunks
+        if use_chunks:
+            try:
+                return step_mod.train_chunk(
+                    state, bundle.meta, jnp.asarray(uids), gt_images, fovx,
+                    fovy, bg, settings, cfg,
+                    spatial_lr_scale=scene.spatial_lr_scale,
+                    optim_pose=optim_pose)
+            except Exception as e:  # compile failure on huge scenes
+                use_chunks = False
+                progress(f"train_chunk compile failed ({str(e)[:120]}); "
+                         "falling back to per-step dispatch")
+        ms = []
+        for uid in uids:
+            state, m = step_mod.train_step(
+                state, bundle.meta, jnp.asarray(int(uid)),
+                gt_images[int(uid)], fovx[int(uid)], fovy[int(uid)], bg,
+                settings, cfg, spatial_lr_scale=scene.spatial_lr_scale,
+                optim_pose=optim_pose)
+            ms.append(m)
+        stacked = step_mod.StepMetrics(
+            *[jnp.stack(x) for x in zip(*ms)])
+        return state, stacked
 
     for start, uids in chunks:
         sh_degree = min(start // 3000, scene.max_sh_degree)
         if settings.sh_degree != sh_degree:
             settings = dataclasses.replace(settings, sh_degree=sh_degree)
 
-        state, metrics = step_mod.train_chunk(
-            state, bundle.meta, jnp.asarray(uids), gt_images, fovx, fovy,
-            bg, settings, cfg, spatial_lr_scale=scene.spatial_lr_scale,
-            optim_pose=optim_pose)
+        state, metrics = run_chunk(state, uids, settings)
         end = start + len(uids)
         metric_handles.append((end, metrics))
         last_loss_handle = metrics.loss
@@ -234,6 +259,8 @@ def main(argv=None):
                          "optimization is a silent no-op)")
     ap.add_argument("--sh_degree", type=int, default=3)
     ap.add_argument("--conf_thre", type=float, default=1.0)
+    ap.add_argument("--max_points", type=int, default=1_500_000,
+                    help="cap dense init at the N highest-confidence pixels (0 = keep all, reference behavior)")
     ap.add_argument("--white_background", action="store_true")
     ap.add_argument("--psnr_threshold", type=float, default=26.0)
     ap.add_argument("--dataset", default="davis")
@@ -249,7 +276,8 @@ def main(argv=None):
                               gt_dynamic_mask_dir=args.gt_dynamic_mask,
                               gt_mask_kind=args.dataset)
     bundle = scene_setup.build_scene(data, sh_degree=args.sh_degree,
-                                     conf_thre=args.conf_thre)
+                                     conf_thre=args.conf_thre,
+                                     max_points=args.max_points or None)
     cfg = OptimizationConfig(iterations=args.iterations,
                              psnr_threshold=args.psnr_threshold)
     os.makedirs(args.model_path, exist_ok=True)

@@ -328,3 +328,20 @@ class TestBinningCompaction:
         bins = bin_gaussians(p, settings)
         assert int(bins.entry_overflow) > 0
         assert int(bins.count.sum()) <= 8
+
+    def test_quantized_depth_sort_matches_exact(self):
+        """22-bit quantized-depth keys vs exact rank keys: same image for
+        scenes without near-coincident depths."""
+        import dataclasses
+        rng = np.random.default_rng(33)
+        base = RasterSettings(image_height=64, image_width=64,
+                              sh_degree=0, max_per_tile=256,
+                              max_tiles_per_gaussian=32,
+                              max_total_entries=300 * 32)
+        quant = dataclasses.replace(base, depth_sort_bits=22)
+        means, scales, rots, ops, colors = make_scene(300, rng)
+        img_e, _, _, _, _ = run_both(base, means, scales, rots, ops, colors)
+        img_q, _, ref_img, _, _ = run_both(quant, means, scales, rots, ops,
+                                           colors)
+        np.testing.assert_allclose(img_q, img_e, atol=1e-6)
+        np.testing.assert_allclose(img_q, ref_img, atol=2e-4)
