@@ -173,6 +173,9 @@ def train_scene(
 
         # host-sync events (reports/saves) — the only device fetches
         for ev in [e for e in events if start < e <= end]:
+            if ev in testing_iterations:
+                _report_train(model_path, ev, state, bundle, settings,
+                              gt_images, fovx, fovy, bg, progress)
             if ev in testing_iterations and test is not None:
                 test_psnr_last = _report_test(
                     model_path, ev, state, tp_state, bundle, settings,
@@ -204,6 +207,35 @@ def train_scene(
     return TrainResult(state=state, test_pose_state=tp_state,
                        last_loss=last_loss, test_psnr=test_psnr_last,
                        iters_per_sec=cfg.iterations / max(dt, 1e-9))
+
+
+def _report_train(model_path, iteration, state, bundle, settings,
+                  gt_images, fovx, fovy, bg, progress, n_sample: int = 5):
+    """L1/PSNR on sampled TRAIN views -> train_log.txt (train_gui
+    training_report :666-712 renders 5 sample train cameras)."""
+
+    @jax.jit
+    def eval_one(params, poses, uid):
+        out = render_mod.render(params, bundle.meta, settings,
+                                poses.pose(uid), bg, fovx[uid], fovy[uid],
+                                mode="train")
+        img = jnp.clip(out.image, 0.0, 1.0)
+        gt = jnp.clip(gt_images[uid], 0.0, 1.0)
+        return jnp.abs(img - gt).mean(), psnr_fn(img[None], gt[None]).mean()
+
+    n = gt_images.shape[0]
+    uids = np.linspace(0, n - 1, min(n_sample, n)).astype(int)
+    pairs = [eval_one(state.params, state.poses, jnp.asarray(int(u)))
+             for u in uids]
+    l1_t = float(np.asarray(jnp.stack([p[0] for p in pairs])).mean())
+    psnr_t = float(np.asarray(jnp.stack([p[1] for p in pairs])).mean())
+    line = f"[ITER {iteration}] Evaluating train: L1 {l1_t} PSNR {psnr_t}"
+    progress(line)
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        with open(os.path.join(model_path, "train_log.txt"), "a") as f:
+            f.write(line + "\n")
+    return psnr_t
 
 
 def _report_test(model_path, iteration, state, tp_state, bundle, settings,

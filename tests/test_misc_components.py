@@ -115,3 +115,32 @@ class TestBenchmarkSuiteCLI:
                     "--scenes", "blackswan"])
         out = capsys.readouterr().out
         assert '"mean_J": 1.0' in out
+
+
+class TestViz:
+    def test_pointcloud_and_trajectory_export(self, tmp_path):
+        from das3r_tpu.eval import viz
+        from das3r_tpu.data import ply as ply_io
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (2, 8, 8, 3))
+        conf = rng.uniform(0, 2, (2, 8, 8))
+        n = viz.export_scene_pointcloud(str(tmp_path / "scene.ply"), pts,
+                                        cols, conf, conf_thre=1.0)
+        assert 0 < n < 128
+        xyz, rgb, _ = ply_io.read_point_cloud(str(tmp_path / "scene.ply"))
+        assert xyz.shape[0] == n
+
+        poses = np.tile(np.eye(4), (5, 1, 1))
+        viz.export_camera_trajectory(str(tmp_path / "traj.ply"), poses)
+        xyz2, _, _ = ply_io.read_point_cloud(str(tmp_path / "traj.ply"))
+        assert xyz2.shape[0] == 10
+
+    def test_depth_visualizations(self, tmp_path):
+        from das3r_tpu.eval import viz
+        depths = np.random.default_rng(1).uniform(1, 5, (3, 16, 16))
+        viz.save_depth_visualizations(str(tmp_path / "d"), depths)
+        assert os.path.exists(str(tmp_path / "d" / "depth_0002.png"))
+        assert os.path.exists(str(tmp_path / "d" / "_depth_maps.gif"))
+        cm = viz.colormap_jet(depths[0])
+        assert cm.shape == (16, 16, 3) and cm.dtype == np.uint8
