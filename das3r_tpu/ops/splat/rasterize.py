@@ -35,6 +35,7 @@ class RasterAux(NamedTuple):
     n_contrib_tiles: jax.Array   # [T] live Gaussians per tile (pre-truncation)
     tile_overflow: jax.Array     # [] tiles whose list was truncated to K
     dup_overflow: jax.Array      # [] gaussians whose rect was cut by D
+    entry_overflow: jax.Array    # [] entries dropped by max_total_entries
 
 
 def rasterize(
@@ -100,5 +101,6 @@ def rasterize(
         tile_overflow=jnp.sum(
             (bins.full_count > settings.max_per_tile).astype(jnp.int32)),
         dup_overflow=bins.dup_overflow,
+        entry_overflow=bins.entry_overflow,
     )
     return img, p.radius, aux

@@ -345,3 +345,25 @@ class TestBinningCompaction:
                                            colors)
         np.testing.assert_allclose(img_q, img_e, atol=1e-6)
         np.testing.assert_allclose(img_q, ref_img, atol=2e-4)
+
+
+class TestConfidenceRender:
+    def test_confidence_mode_renders_staticness(self):
+        """mode='confidence': opacity 1, colors = per-gaussian conf -> a
+        staticness image (reference render_confidence :410-496)."""
+        import jax.numpy as jnp
+        from das3r_tpu.models import render as render_mod
+        from tests.test_train import build_synthetic_scene
+        params, meta, poses, settings = build_synthetic_scene(
+            n=100, cap=128, f=2, hw=32)
+        conf = jnp.full((128,), 0.25)
+        out = render_mod.render(params, meta, settings, poses.pose(0),
+                                jnp.zeros(3), jnp.asarray(1.0),
+                                jnp.asarray(1.0), mode="confidence",
+                                conf_per_gaussian=conf)
+        img = np.asarray(out.image)
+        assert np.isfinite(img).all()
+        # wherever anything is rendered, the value reflects conf=0.25
+        covered = img[0] > 0.01
+        assert covered.any()
+        assert img[0][covered].max() <= 0.26
