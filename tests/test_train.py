@@ -188,11 +188,12 @@ class TestTrainStep:
         # threshold impossible to clear -> camera params must stay frozen
         cfg = OptimizationConfig(psnr_threshold=1e6)
         state = step_mod.init_train_state(params, poses)
+        # train_step donates the state — snapshot what we compare first
+        q_before = np.asarray(state.poses.Q).copy()
         state2, m = step_mod.train_step(
             state, meta, jnp.asarray(0), gt, fov, fov, bg, settings, cfg)
         assert not bool(m.cam_stepped)
-        np.testing.assert_array_equal(np.asarray(state2.poses.Q),
-                                      np.asarray(state.poses.Q))
+        np.testing.assert_array_equal(np.asarray(state2.poses.Q), q_before)
         assert int(state2.opt_cam.count) == 0
         assert int(state2.opt.count) == 1  # main group always steps
 
