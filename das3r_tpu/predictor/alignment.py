@@ -578,3 +578,48 @@ def align(edges: list, pred_i, pred_j, conf_i, conf_j, mask_i,
         depths=depths, poses_c2w=c2w, focals=focals, intrinsics=K,
         im_conf=im_conf, dyna_avg=dyna_avg, dyna_max=dyna_max,
         dynamic_masks=dyn_bin, final_loss=final_loss)
+
+
+def clean_pointcloud(im_confs: np.ndarray, intrinsics: np.ndarray,
+                     poses_c2w: np.ndarray, depths: np.ndarray,
+                     tol: float = 0.001, bad_conf: float = 0.0
+                     ) -> np.ndarray:
+    """Cross-view depth-consistency confidence suppression
+    (base_opt.clean_pointcloud :584-619): a pixel whose 3D point lands IN
+    FRONT of another view's depth map while being less confident gets its
+    confidence clipped to ``bad_conf``. Host-side numpy (one-shot, not hot).
+
+    im_confs/depths [F, H, W]; intrinsics [F, 3, 3]; poses_c2w [F, 4, 4].
+    """
+    F, H, W = im_confs.shape
+    res = im_confs.copy()
+    w2c = np.linalg.inv(poses_c2w)
+
+    # world points of every frame
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+    pts_world = np.empty((F, H, W, 3), np.float32)
+    for f in range(F):
+        K = intrinsics[f]
+        z = depths[f]
+        cam = np.stack([z * (xx - K[0, 2]) / K[0, 0],
+                        z * (yy - K[1, 2]) / K[1, 1], z], -1)
+        pts_world[f] = cam @ poses_c2w[f, :3, :3].T + poses_c2w[f, :3, 3]
+
+    for i in range(F):
+        for j in range(F):
+            if i == j:
+                continue
+            proj = pts_world[i] @ w2c[j, :3, :3].T + w2c[j, :3, 3]
+            z = proj[..., 2]
+            K = intrinsics[j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = np.round(proj[..., 0] / z * K[0, 0] + K[0, 2])
+                v = np.round(proj[..., 1] / z * K[1, 1] + K[1, 2])
+            msk = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            ui = np.where(msk, u, 0).astype(np.int64)
+            vi = np.where(msk, v, 0).astype(np.int64)
+            bad = (msk
+                   & (z < (1 - tol) * depths[j][vi, ui])
+                   & (res[i] < res[j][vi, ui]))
+            res[i][bad] = np.minimum(res[i][bad], bad_conf)
+    return res

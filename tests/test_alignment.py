@@ -118,3 +118,37 @@ class TestFullAlignment:
         assert dyna_max[i0, :8, :8].max() == 1.0
         assert 0 < dyna_avg[i0, :8, :8].max() <= 1.0
         assert dyna_avg[2].max() == 0.0 or edges[0][0] == 2
+
+
+class TestCleanPointcloud:
+    def test_occluding_low_conf_point_suppressed(self):
+        from das3r_tpu.predictor.alignment import clean_pointcloud
+        H = W = 16
+        K = np.asarray([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]])
+        intr = np.stack([K, K])
+        poses = np.stack([np.eye(4), np.eye(4)]).astype(np.float32)
+        depths = np.full((2, H, W), 5.0, np.float32)
+        # frame 0 claims a point much closer than frame 1 sees, with LOWER
+        # confidence -> suppressed
+        depths[0, 8, 8] = 2.0
+        confs = np.full((2, H, W), 3.0, np.float32)
+        confs[0, 8, 8] = 1.0
+        out = clean_pointcloud(confs, intr, poses, depths)
+        assert out[0, 8, 8] == 0.0
+        assert out[1].min() == 3.0
+        # same geometry but HIGHER confidence -> kept
+        confs2 = confs.copy()
+        confs2[0, 8, 8] = 9.0
+        out2 = clean_pointcloud(confs2, intr, poses, depths)
+        assert out2[0, 8, 8] == 9.0
+
+    def test_two_frame_alignment(self):
+        """The PairViewer role (2-image fallback) is covered by the MST
+        path for n=2."""
+        (edges, pred_i, pred_j, conf, mask, gt_poses, *_
+         ) = make_multiview_scene(f=2)
+        cfg = alignment.AlignerConfig(niter=10, flow_loss_weight=0.0,
+                                      temporal_smoothing_weight=0.0)
+        out = alignment.align(edges, pred_i, pred_j, conf, conf, mask, cfg)
+        m = traj_eval.eval_metrics(out.poses_c2w, gt_poses)
+        assert np.isfinite(out.depths).all()
