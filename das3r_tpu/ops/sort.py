@@ -137,6 +137,139 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _merge_level_kernel(k_hbm, v_hbm, k_out, v_out, kbuf, vbuf, sem,
+                        *, S: int, k_level: int, C: int):
+    """One FULL merge level (all its cross-block stages + the local j<S
+    stages) in a single kernel: the sequential TPU grid iterates
+    (stage, program) in stage-major order, each program DMAs its block pair
+    from HBM (in-place via output aliasing), compare-exchanges in VMEM and
+    writes back. The final stage runs the intra-block merge.
+
+    grid = (n_cross_stages + 1, C); during cross stage s only programs
+    p < C/2 act; in the last stage every program merges its own block.
+    """
+    R = S // LANES
+    s_idx = pl.program_id(0)
+    p = pl.program_id(1)
+    n_cross = pl.num_programs(0) - 1
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    flat = row * LANES + lane
+
+    @pl.when((s_idx < n_cross) & (p < C // 2))
+    def _cross():
+        # j for this stage: k_level/2 >> s_idx ; jb = j/S
+        jb = (k_level // (2 * S)) >> s_idx
+        low = (p // jb) * (2 * jb) + (p % jb)
+        high = low + jb
+        cp1 = pltpu.make_async_copy(k_out.at[pl.ds(low * R, R)],
+                                    kbuf.at[0], sem.at[0])
+        cp2 = pltpu.make_async_copy(k_out.at[pl.ds(high * R, R)],
+                                    kbuf.at[1], sem.at[1])
+        cp3 = pltpu.make_async_copy(v_out.at[pl.ds(low * R, R)],
+                                    vbuf.at[0], sem.at[2])
+        cp4 = pltpu.make_async_copy(v_out.at[pl.ds(high * R, R)],
+                                    vbuf.at[1], sem.at[3])
+        cp1.start(); cp2.start(); cp3.start(); cp4.start()
+        cp1.wait(); cp2.wait(); cp3.wait(); cp4.wait()
+        a_k = kbuf[0]
+        b_k = kbuf[1]
+        a_v = vbuf[0]
+        b_v = vbuf[1]
+        asc = ((low * S) & k_level) == 0
+        keep = (asc & (a_k <= b_k)) | (~asc & (a_k >= b_k))
+        kbuf[0] = jnp.where(keep, a_k, b_k)
+        kbuf[1] = jnp.where(keep, b_k, a_k)
+        vbuf[0] = jnp.where(keep, a_v, b_v)
+        vbuf[1] = jnp.where(keep, b_v, a_v)
+        w1 = pltpu.make_async_copy(kbuf.at[0], k_out.at[pl.ds(low * R, R)],
+                                   sem.at[0])
+        w2 = pltpu.make_async_copy(kbuf.at[1], k_out.at[pl.ds(high * R, R)],
+                                   sem.at[1])
+        w3 = pltpu.make_async_copy(vbuf.at[0], v_out.at[pl.ds(low * R, R)],
+                                   sem.at[2])
+        w4 = pltpu.make_async_copy(vbuf.at[1], v_out.at[pl.ds(high * R, R)],
+                                   sem.at[3])
+        w1.start(); w2.start(); w3.start(); w4.start()
+        w1.wait(); w2.wait(); w3.wait(); w4.wait()
+
+    @pl.when(s_idx == n_cross)
+    def _local():
+        cp1 = pltpu.make_async_copy(k_out.at[pl.ds(p * R, R)], kbuf.at[0],
+                                    sem.at[0])
+        cp2 = pltpu.make_async_copy(v_out.at[pl.ds(p * R, R)], vbuf.at[0],
+                                    sem.at[1])
+        cp1.start(); cp2.start(); cp1.wait(); cp2.wait()
+        asc_block = ((p * S) & k_level) == 0
+        asc = jnp.full((R, LANES), asc_block, jnp.bool_)
+        k_arr, v_arr = _merge_stages(kbuf[0], vbuf[0], flat, S, asc)
+        kbuf[0] = k_arr
+        vbuf[0] = v_arr
+        w1 = pltpu.make_async_copy(kbuf.at[0], k_out.at[pl.ds(p * R, R)],
+                                   sem.at[0])
+        w2 = pltpu.make_async_copy(vbuf.at[0], v_out.at[pl.ds(p * R, R)],
+                                   sem.at[1])
+        w1.start(); w2.start(); w1.wait(); w2.wait()
+
+
+def _run_merge_level(k2, v2, S: int, k_level: int, C: int, interp: bool):
+    import math
+    R = S // LANES
+    n_cross = int(math.log2(k_level // S))
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        functools.partial(_merge_level_kernel, S=S, k_level=k_level, C=C),
+        grid=(n_cross + 1, C),
+        in_specs=[any_spec, any_spec],
+        out_specs=[any_spec, any_spec],
+        out_shape=[jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+                   jax.ShapeDtypeStruct(v2.shape, v2.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, R, LANES), jnp.uint32),
+                        pltpu.VMEM((2, R, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interp,
+    )(k2, v2)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def sort_pairs_v2(keys: jax.Array, values: jax.Array, block: int = 1 << 13):
+    """Like ``sort_pairs`` but each merge level is ONE kernel doing its own
+    in-place HBM DMA — ~log2(C)+1 dispatches total instead of
+    ~log2(C)^2/2."""
+    n = keys.shape[0]
+    npad = max(_next_pow2(n), block)
+    S = min(block, npad)
+    C = npad // S
+    R = S // LANES
+
+    kp = jnp.full((npad,), jnp.uint32(0xFFFFFFFF)).at[:n].set(keys)
+    vp = jnp.zeros((npad,), jnp.int32).at[:n].set(values)
+    k2 = kp.reshape(C * R, LANES)
+    v2 = vp.reshape(C * R, LANES)
+
+    interp = _interpret()
+    block_spec = pl.BlockSpec((R, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    k2, v2 = pl.pallas_call(
+        functools.partial(_block_sort_kernel, S=S),
+        grid=(C,),
+        in_specs=[block_spec, block_spec],
+        out_specs=[block_spec, block_spec],
+        out_shape=[jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+                   jax.ShapeDtypeStruct(v2.shape, v2.dtype)],
+        interpret=interp,
+    )(k2, v2)
+
+    k_level = 2 * S
+    while k_level <= npad:
+        k2, v2 = _run_merge_level(k2, v2, S, k_level, C, interp)
+        k_level *= 2
+    return k2.reshape(-1)[:n], v2.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def sort_pairs(keys: jax.Array, values: jax.Array, block: int = 1 << 17):
     """Sort (keys [N] uint32, values [N] int32) by key ascending.
