@@ -40,7 +40,12 @@ class Dust3rConfig:
     mlp_ratio: float = 4.0
     rope_base: float = 100.0
     conf_vmin: float = 1.0
-    dtype: Any = jnp.float32
+    dtype: Any = jnp.float32       # encoder/decoder compute dtype; set to
+                                   # jnp.bfloat16 for fast TPU inference
+                                   # (params stay fp32)
+    head_dtype: Any = jnp.float32  # DPT heads stay fp32 like the
+                                   # reference's AMP-off head pass
+                                   # (model.py:217-222)
 
 
 DUST3R_LARGE_CONFIG = Dust3rConfig()
@@ -81,13 +86,13 @@ class AsymmetricCroCo3D(nn.Module):
             for i in range(c.dec_depth)]
         self.dec_norm = nn.LayerNorm(epsilon=1e-6, name="dec_norm")
         hooks = (0, c.dec_depth * 2 // 4, c.dec_depth * 3 // 4, c.dec_depth)
-        self.head1 = DPTHead(4, "regression", hooks, dtype=c.dtype,
+        self.head1 = DPTHead(4, "regression", hooks, dtype=c.head_dtype,
                              name="downstream_head1")
-        self.head2 = DPTHead(4, "regression", hooks, dtype=c.dtype,
+        self.head2 = DPTHead(4, "regression", hooks, dtype=c.head_dtype,
                              name="downstream_head2")
-        self.head_mask1 = DPTHead(1, "semseg", hooks, dtype=c.dtype,
+        self.head_mask1 = DPTHead(1, "semseg", hooks, dtype=c.head_dtype,
                                   name="downstream_head_dynamic_mask1")
-        self.head_mask2 = DPTHead(1, "semseg", hooks, dtype=c.dtype,
+        self.head_mask2 = DPTHead(1, "semseg", hooks, dtype=c.head_dtype,
                                   name="downstream_head_dynamic_mask2")
 
     def encode(self, img: jax.Array):
@@ -123,6 +128,10 @@ class AsymmetricCroCo3D(nn.Module):
         view 1's frame (model.py:211-228). Maps are [B, H, W(, 3)].
         """
         dec1, dec2 = self._decode(f1, pos1, f2, pos2)
+        # heads consume fp32 tokens ([tok.float() for tok in dec],
+        # reference model.py:217-222)
+        dec1 = [t.astype(self.cfg.head_dtype) for t in dec1]
+        dec2 = [t.astype(self.cfg.head_dtype) for t in dec2]
         if stop_trunk_grad:
             dec1 = [jax.lax.stop_gradient(t) for t in dec1]
             dec2 = [jax.lax.stop_gradient(t) for t in dec2]

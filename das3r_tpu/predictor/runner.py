@@ -128,13 +128,18 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--motion_mask_thre", type=float, default=0.35)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the ViT trunk in bfloat16 (heads fp32)")
     args = ap.parse_args(argv)
 
     from das3r_tpu.models.croco.convert import (convert_torch_state_dict,
                                                 load_torch_checkpoint)
     import jax
 
-    model = AsymmetricCroCo3D(Dust3rConfig())
+    import jax.numpy as _jnp
+    cfg_m = Dust3rConfig(dtype=_jnp.bfloat16) if args.bf16 \
+        else Dust3rConfig()
+    model = AsymmetricCroCo3D(cfg_m)
     params = jax.tree.map(
         __import__("jax.numpy", fromlist=["asarray"]).asarray,
         convert_torch_state_dict(load_torch_checkpoint(args.ckpt)))

@@ -240,3 +240,24 @@ class TestConverterAndModel:
                                    np.asarray(q1["pts3d"]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(r2["conf"]),
                                    np.asarray(q2["conf"]), atol=1e-6)
+
+
+def test_bf16_trunk_close_to_fp32():
+    """bfloat16 encoder/decoder with fp32 heads stays close to full fp32
+    (the fast-inference configuration)."""
+    import dataclasses
+    rng = np.random.default_rng(8)
+    params = jax.tree.map(jnp.asarray, convert_torch_state_dict(
+        random_torch_state_dict(TINY, rng), TINY))
+    img1 = jnp.asarray(rng.standard_normal((1, 3, 32, 48)), jnp.float32)
+    img2 = jnp.asarray(rng.standard_normal((1, 3, 32, 48)), jnp.float32)
+    r32, _ = AsymmetricCroCo3D(TINY).apply({"params": params}, img1, img2)
+    cfg16 = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    r16, _ = AsymmetricCroCo3D(cfg16).apply({"params": params}, img1, img2)
+    assert r16["pts3d"].dtype == jnp.float32  # heads stay fp32
+    d = np.abs(np.asarray(r16["dynamic_mask"]) -
+               np.asarray(r32["dynamic_mask"]))
+    assert d.mean() < 0.05
+    rel = (np.abs(np.asarray(r16["pts3d"]) - np.asarray(r32["pts3d"]))
+           / (np.abs(np.asarray(r32["pts3d"])) + 1e-3))
+    assert np.median(rel) < 0.1
