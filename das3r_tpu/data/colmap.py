@@ -132,3 +132,78 @@ def write_images_text(path: str, poses_c2w: np.ndarray, names):
             f.write(f"{i + 1} {q[0]} {q[1]} {q[2]} {q[3]} "
                     f"{t[0]} {t[1]} {t[2]} {i + 1} {os.path.basename(name)}\n")
             f.write("\n")
+
+
+def read_points3d_binary(path: str):
+    """sparse/0/points3D.bin -> (xyz [N,3], rgb [N,3] uint8, err [N])
+    (scene/colmap_loader.py read_points3D_binary)."""
+    import struct
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        xyz = np.empty((n, 3))
+        rgb = np.empty((n, 3), np.uint8)
+        err = np.empty(n)
+        for i in range(n):
+            data = struct.unpack("<QdddBBBd", f.read(43))
+            xyz[i] = data[1:4]
+            rgb[i] = data[4:7]
+            err[i] = data[7]
+            track_len = struct.unpack("<Q", f.read(8))[0]
+            f.read(8 * track_len)
+    return xyz, rgb, err
+
+
+def read_points3d_text(path: str):
+    xyz, rgb, err = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split()
+            xyz.append([float(x) for x in p[1:4]])
+            rgb.append([int(x) for x in p[4:7]])
+            err.append(float(p[7]))
+    return (np.asarray(xyz), np.asarray(rgb, np.uint8), np.asarray(err))
+
+
+def read_extrinsics_binary(path: str) -> dict[int, "ColmapImage"]:
+    """sparse/0/images.bin (scene/colmap_loader.py read_extrinsics_binary)."""
+    import struct
+    images = {}
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            d = struct.unpack("<idddddddi", f.read(64))
+            image_id, qw, qx, qy, qz, tx, ty, tz, cam_id = d
+            name = b""
+            c = f.read(1)
+            while c != b"\x00":
+                name += c
+                c = f.read(1)
+            n2d = struct.unpack("<Q", f.read(8))[0]
+            f.read(24 * n2d)
+            images[image_id] = ColmapImage(
+                id=image_id, qvec=np.asarray([qw, qx, qy, qz]),
+                tvec=np.asarray([tx, ty, tz]), camera_id=cam_id,
+                name=name.decode("utf-8"))
+    return images
+
+
+def read_cameras_binary(path: str) -> dict[int, "ColmapCamera"]:
+    """sparse/0/cameras.bin (scene/colmap_loader.py)."""
+    import struct
+    model_info = {0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4),
+                  2: ("SIMPLE_RADIAL", 4), 3: ("RADIAL", 5),
+                  4: ("OPENCV", 8)}
+    cams = {}
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        for _ in range(n):
+            cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            name, n_params = model_info[model_id]
+            params = struct.unpack(f"<{n_params}d", f.read(8 * n_params))
+            cams[cam_id] = ColmapCamera(id=cam_id, model=name, width=w,
+                                        height=h,
+                                        params=np.asarray(params))
+    return cams

@@ -38,6 +38,8 @@ def rearrange_scene(dataset_path: str, output_path: str) -> None:
     subdirs = {
         "images": ("frame_*.png", "{name}"),
         "dynamic_masks": ("dynamic_mask_*.png", "dynamic_mask_{i:04d}.png"),
+        "enlarged_dynamic_masks": ("enlarged_dynamic_mask_*.png",
+                                   "enlarged_dynamic_mask_{i:04d}.png"),
         "depth_maps": ("frame_*.npy", "frame_{i:04d}.npy"),
         "confidence_maps": ("conf_*.npy", "conf_{i:04d}.npy"),
         "dyna_max": ("dyna_max_*.npy", "dyna_max_{i:04d}.npy"),

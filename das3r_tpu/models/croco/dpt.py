@@ -179,3 +179,27 @@ class DPTHead(nn.Module):
         else:
             raise ValueError(self.head_type)
         return out                                        # [B, H, W, C_out]
+
+
+class LinearHead(nn.Module):
+    """LinearPts3d (reference dynamic_predictor/dust3r/heads/linear_head.py:
+    12-41): one Dense from the LAST decoder token to (out_ch * p^2), pixel-
+    shuffled back to full resolution. Interface-compatible with DPTHead so
+    the two are swappable via Dust3rConfig.head_type ('dpt' is what the
+    published DAS3R checkpoints use; 'linear' covers the dust3r 224-linear
+    family)."""
+    out_ch: int
+    patch_size: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_list, img_h: int, img_w: int,
+                 deterministic: bool = True):
+        tokens = token_list[-1]                      # [B, S, D]
+        B, S, _ = tokens.shape
+        hp, wp = img_h // self.patch_size, img_w // self.patch_size
+        assert hp * wp == S, (hp, wp, S)
+        x = tokens.reshape(B, hp, wp, -1)
+        y = PixelShuffleUp(self.out_ch, self.patch_size, dtype=self.dtype,
+                           name="proj_shuffle")(x)
+        return y.astype(jnp.float32)                 # [B, H, W, out_ch]

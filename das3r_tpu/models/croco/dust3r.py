@@ -40,6 +40,9 @@ class Dust3rConfig:
     mlp_ratio: float = 4.0
     rope_base: float = 100.0
     conf_vmin: float = 1.0
+    head_type: str = "dpt"         # 'dpt' (DAS3R/MonST3R checkpoints) or
+                                   # 'linear' (dust3r 224-linear family,
+                                   # reference heads/__init__.py:13-22)
     dtype: Any = jnp.float32       # encoder/decoder compute dtype; set to
                                    # jnp.bfloat16 for fast TPU inference
                                    # (params stay fp32)
@@ -86,14 +89,20 @@ class AsymmetricCroCo3D(nn.Module):
             for i in range(c.dec_depth)]
         self.dec_norm = nn.LayerNorm(epsilon=1e-6, name="dec_norm")
         hooks = (0, c.dec_depth * 2 // 4, c.dec_depth * 3 // 4, c.dec_depth)
-        self.head1 = DPTHead(4, "regression", hooks, dtype=c.head_dtype,
-                             name="downstream_head1")
-        self.head2 = DPTHead(4, "regression", hooks, dtype=c.head_dtype,
-                             name="downstream_head2")
-        self.head_mask1 = DPTHead(1, "semseg", hooks, dtype=c.head_dtype,
-                                  name="downstream_head_dynamic_mask1")
-        self.head_mask2 = DPTHead(1, "semseg", hooks, dtype=c.head_dtype,
-                                  name="downstream_head_dynamic_mask2")
+        if c.head_type == "linear":
+            from das3r_tpu.models.croco.dpt import LinearHead
+            mk = lambda ch, mode, name: LinearHead(
+                ch, c.patch_size, dtype=c.head_dtype, name=name)
+        elif c.head_type == "dpt":
+            mk = lambda ch, mode, name: DPTHead(
+                ch, mode, hooks, dtype=c.head_dtype, name=name)
+        else:
+            raise ValueError(f"unknown head_type {c.head_type!r}; "
+                             "expected 'dpt' or 'linear'")
+        self.head1 = mk(4, "regression", "downstream_head1")
+        self.head2 = mk(4, "regression", "downstream_head2")
+        self.head_mask1 = mk(1, "semseg", "downstream_head_dynamic_mask1")
+        self.head_mask2 = mk(1, "semseg", "downstream_head_dynamic_mask2")
 
     def encode(self, img: jax.Array):
         """[B, 3, H, W] (ImgNorm'ed) -> (tokens [B, N, D_enc], pos)."""

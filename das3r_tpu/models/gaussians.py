@@ -234,3 +234,58 @@ def init_test_pose_params(poses_w2c: np.ndarray) -> TestPoseParams:
     pose7 = np.asarray(w2c_to_pose(jnp.asarray(poses_w2c, jnp.float32)))
     return TestPoseParams(Q=jnp.asarray(pose7[:, :4]),
                           T=jnp.asarray(pose7[:, 4:]))
+
+
+def init_from_point_cloud(
+    points: np.ndarray,           # [N, 3]
+    colors: np.ndarray,           # [N, 3] in [0, 1]
+    max_sh_degree: int = 3,
+    capacity: int | None = None,
+    spatial_lr_scale: float = 1.0,
+    n_frames: int = 1,
+    height: int = 1,
+    width: int = 1,
+):
+    """Classic 3DGS init from a sparse point cloud (``create_from_pcd``,
+    reference gaussian_model.py:203-226): SH-DC from colors, scales from
+    3-NN mean distance, identity rotations, opacity 0.1. Used for
+    COLMAP-points3D / Blender scenes without stage-1 side channels
+    (conf_static starts at all-ones = fully static)."""
+    n = points.shape[0]
+    cap = capacity or _round_capacity(n)
+    assert cap >= n
+
+    dist2 = np.maximum(
+        np.asarray(knn_mean_sq_dist(jnp.asarray(points, jnp.float32),
+                                    k=3)), 1e-7)
+    scales_live = np.log(np.sqrt(dist2))[:, None].repeat(3, 1)
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return out
+
+    n_rest = num_rest_coeffs(max_sh_degree)
+    params = GaussianParams(
+        xyz=jnp.asarray(pad(points.astype(np.float32))),
+        features_dc=jnp.asarray(pad(
+            np.asarray(sh_lib.rgb_to_sh(colors.astype(np.float32)))
+            [:, None, :])),
+        features_rest=jnp.zeros((cap, n_rest, 3), jnp.float32),
+        scaling=jnp.asarray(pad(scales_live.astype(np.float32))),
+        rotation=jnp.asarray(np.tile(
+            np.asarray([1, 0, 0, 0], np.float32), (cap, 1))),
+        opacity=jnp.asarray(pad(
+            np.full((n, 1), _logit(0.1), np.float32), fill=-1e4)),
+        conf_static=jnp.ones((n_frames, height, width), jnp.float32),
+    )
+    meta = GaussianMeta(
+        alive=jnp.asarray(pad(np.ones(n, np.float32)) > 0),
+        pix_id=jnp.zeros(cap, jnp.int32),
+        max_radii2d=jnp.zeros(cap, jnp.float32),
+        xyz_grad_accum=jnp.zeros(cap, jnp.float32),
+        denom=jnp.zeros(cap, jnp.float32))
+    scene = GaussianScene(max_sh_degree=max_sh_degree, n_frames=n_frames,
+                          height=height, width=width, capacity=cap,
+                          spatial_lr_scale=spatial_lr_scale)
+    return params, meta, scene

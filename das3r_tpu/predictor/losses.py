@@ -104,3 +104,80 @@ def conf_regr3d_mmask_loss(batch: Stage1Batch, res1: dict, res2: dict,
                          pts3d_2=_masked_mean(l2, valid2),
                          mask_1=_masked_mean(m1, valid1),
                          mask_2=_masked_mean(m2, valid2))
+
+
+def _nan_where(x, valid):
+    return jnp.where(valid, x, jnp.nan)
+
+
+def joint_median_depth(z1, z2, valid1, valid2):
+    """Median z over both views, invalid -> NaN-ignored
+    (reference dust3r/utils/geometry.py:317-330). Returns [B]."""
+    z = jnp.concatenate([_nan_where(z1, valid1).reshape(z1.shape[0], -1),
+                         _nan_where(z2, valid2).reshape(z2.shape[0], -1)], -1)
+    return jnp.nanmedian(z, axis=-1)
+
+
+def joint_center_scale(pts1, pts2, valid1, valid2):
+    """Median center + median distance-to-center over both views
+    (geometry.py:332-347). Returns (center [B,1,1,3], scale [B])."""
+    B = pts1.shape[0]
+    p = jnp.concatenate([
+        _nan_where(pts1, valid1[..., None]).reshape(B, -1, 3),
+        _nan_where(pts2, valid2[..., None]).reshape(B, -1, 3)], 1)
+    center = jnp.nanmedian(p, axis=1, keepdims=True)          # [B, 1, 3]
+    norm = jnp.linalg.norm(p - center, axis=-1)
+    scale = jnp.nanmedian(norm, axis=1)
+    return center[:, None], scale
+
+
+def regr3d_scale_shift_inv_loss(batch: Stage1Batch, res1: dict, res2: dict,
+                                gt_scale: bool = True) -> Stage1LossOut:
+    """Regr3D_ScaleShiftInv(L21, gt_scale=True) — the stage-1 TEST criterion
+    (reference losses.py:341-400, MRO runs ShiftInv then ScaleInv):
+    avg-dis normalize predictions, subtract the joint median depth from both,
+    then rescale predictions onto the GT's median scale before the L21.
+
+    All medians are nanmedian over valid pixels; everything is
+    stop-gradient-free because this is an eval metric.
+    """
+    in_cam1 = se3_inverse(batch.camera_pose_1)
+    B, H, W, _ = batch.gt_pts3d_1.shape
+    gt1 = geotrf(in_cam1, batch.gt_pts3d_1.reshape(B, -1, 3)).reshape(
+        B, H, W, 3)
+    gt2 = geotrf(in_cam1, batch.gt_pts3d_2.reshape(B, -1, 3)).reshape(
+        B, H, W, 3)
+    pr1 = res1["pts3d"]
+    pr2 = res2["pts3d_in_other_view"]
+    valid1, valid2 = batch.valid_1, batch.valid_2
+
+    # Regr3D.get_all_pts3d with gt_scale=True: preds normalized, gt raw
+    pr1, pr2 = normalize_pointcloud_pair(pr1, pr2, valid1, valid2)
+
+    # ShiftInv: subtract the joint median depth (z channel only)
+    gt_shift = joint_median_depth(gt1[..., 2], gt2[..., 2], valid1, valid2)
+    pr_shift = joint_median_depth(pr1[..., 2], pr2[..., 2], valid1, valid2)
+    shift = lambda p, s: p.at[..., 2].add(-s[:, None, None])
+    gt1, gt2 = shift(gt1, gt_shift), shift(gt2, gt_shift)
+    pr1, pr2 = shift(pr1, pr_shift), shift(pr2, pr_shift)
+
+    # ScaleInv: rescale predictions onto the GT scale (or both to unit)
+    _, gts = joint_center_scale(gt1, gt2, valid1, valid2)
+    _, prs = joint_center_scale(pr1, pr2, valid1, valid2)
+    prs = jnp.clip(prs, 1e-3, 1e3)
+    if gt_scale:
+        r = (gts / prs)[:, None, None, None]
+        pr1, pr2 = pr1 * r, pr2 * r
+    else:
+        pr1, pr2 = pr1 / prs[:, None, None, None], \
+            pr2 / prs[:, None, None, None]
+        gt1, gt2 = gt1 / gts[:, None, None, None], \
+            gt2 / gts[:, None, None, None]
+
+    l1 = jnp.linalg.norm(pr1 - gt1, axis=-1)
+    l2 = jnp.linalg.norm(pr2 - gt2, axis=-1)
+    z = jnp.zeros(())
+    return Stage1LossOut(
+        total=_masked_mean(l1, valid1) + _masked_mean(l2, valid2),
+        pts3d_1=_masked_mean(l1, valid1), pts3d_2=_masked_mean(l2, valid2),
+        mask_1=z, mask_2=z)

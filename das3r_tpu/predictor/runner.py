@@ -66,6 +66,22 @@ def save_stage1_outputs(out_dir: str, images01: np.ndarray,
     trajectory.write_tum(str(out / "pred_traj.txt"), pos, quat)
     np.savetxt(out / "pred_intrinsics.txt",
                scene.intrinsics.reshape(F, 9), fmt="%.6f")
+    enlarge_seg_masks(str(out))
+
+
+def enlarge_seg_masks(folder: str, kernel_size: int = 5,
+                      prefix: str = "dynamic_mask") -> None:
+    """5x5 dilation of the binary dynamic masks -> enlarged_dynamic_mask_*
+    (reference dust3r/utils/image.py:277-283; consumed by the stage-2
+    reader's enlarged_dynamic_masks side channel)."""
+    import cv2
+    import glob as globmod
+    for mask_path in sorted(globmod.glob(f"{folder}/{prefix}_*.png")):
+        mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+        kernel = np.ones((kernel_size, kernel_size), np.uint8)
+        enlarged = cv2.dilate(mask, kernel, iterations=1)
+        cv2.imwrite(mask_path.replace(prefix, "enlarged_dynamic_mask"),
+                    enlarged)
 
 
 @dataclasses.dataclass
