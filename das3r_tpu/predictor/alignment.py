@@ -623,3 +623,84 @@ def clean_pointcloud(im_confs: np.ndarray, intrinsics: np.ndarray,
                    & (res[i] < res[j][vi, ui]))
             res[i][bad] = np.minimum(res[i][bad], bad_conf)
     return res
+
+
+def pair_view(edges: list, pred_i, pred_j, conf_i, conf_j, mask_i,
+              cfg: AlignerConfig = AlignerConfig()) -> AlignedScene:
+    """Closed-form 2-frame scene — no optimization (the reference's
+    PairViewer, cloud_opt/pair_viewer.py:15-112, selected by
+    ``global_aligner(mode=PairViewer)`` when exactly one symmetrized pair
+    exists). Per view: Weiszfeld focal from its own pointmap, relative pose
+    by PnP-RANSAC of the cross-view pointmap against the pixel grid; the
+    more confident direction wins and anchors the world at that camera.
+    """
+    import cv2
+
+    assert sorted(edges) == [(0, 1), (1, 0)], \
+        f"pair_view needs one symmetrized pair, got {edges}"
+    pred_i = np.asarray(pred_i, np.float32)
+    pred_j = np.asarray(pred_j, np.float32)
+    conf_i = np.asarray(conf_i, np.float32)
+    conf_j = np.asarray(conf_j, np.float32)
+    mask_i = np.asarray(mask_i, np.float32)
+    E, H, W = conf_i.shape
+    pp = np.asarray([W / 2, H / 2], np.float32)
+    eidx = {tuple(e): k for k, e in enumerate(edges)}
+
+    im_conf, dyna_avg, dyna_max = aggregate_frame_maps(
+        edges, conf_i, conf_j, mask_i, 2)
+
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+    pixels = np.stack([xx, yy], -1).astype(np.float32)    # [H, W, (x, y)]
+
+    confs, focals, rel_poses = [], [], []
+    for i in range(2):
+        e = eidx[(i, 1 - i)]
+        confs.append(float(conf_i[e].mean() * conf_j[e].mean()))
+        focal = estimate_focal_weiszfeld(pred_i[e], pp)
+        focals.append(focal)
+
+        # pose of camera i from its pointmap expressed in the OTHER view
+        pts = pred_j[eidx[(1 - i, i)]]
+        msk = im_conf[i] > cfg.min_conf_thr
+        pose = np.eye(4, dtype=np.float32)
+        if int(msk.sum()) >= 6:
+            K = np.float32([[focal, 0, pp[0]], [0, focal, pp[1]], [0, 0, 1]])
+            ok, rvec, tvec, _ = cv2.solvePnPRansac(
+                pts[msk].astype(np.float64),
+                pixels[msk].astype(np.float64), K, None,
+                iterationsCount=100, reprojectionError=5,
+                flags=cv2.SOLVEPNP_SQPNP)
+            if ok:
+                w2c = np.eye(4)
+                w2c[:3, :3] = cv2.Rodrigues(rvec)[0]
+                w2c[:3, 3] = tvec.ravel()
+                pose = np.linalg.inv(w2c).astype(np.float32)
+        rel_poses.append(pose)
+
+    def _transformed_depth(pose, pts):
+        inv_pose = np.linalg.inv(pose)
+        flat = pts.reshape(-1, 3) @ inv_pose[:3, :3].T + inv_pose[:3, 3]
+        return flat[:, 2].reshape(H, W)
+
+    if confs[0] > confs[1]:           # world = camera 1's frame
+        e = eidx[(0, 1)]
+        poses = np.stack([np.eye(4, dtype=np.float32), rel_poses[1]])
+        depths = np.stack([pred_i[e][..., 2],
+                           _transformed_depth(rel_poses[1], pred_j[e])])
+    else:                             # world = camera 2's frame
+        e = eidx[(1, 0)]
+        poses = np.stack([rel_poses[0], np.eye(4, dtype=np.float32)])
+        depths = np.stack([_transformed_depth(rel_poses[0], pred_j[e]),
+                           pred_i[e][..., 2]])
+
+    f = np.asarray(focals, np.float32)
+    K = np.zeros((2, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = f
+    K[:, :2, 2] = pp
+    K[:, 2, 2] = 1
+    return AlignedScene(
+        depths=depths.astype(np.float32), poses_c2w=poses, focals=f,
+        intrinsics=K, im_conf=im_conf, dyna_avg=dyna_avg,
+        dyna_max=dyna_max, dynamic_masks=dyna_avg > cfg.motion_mask_thre,
+        final_loss=0.0)

@@ -109,6 +109,9 @@ def run_scene(
     images01, names = load_frames(image_dir, size=size, stride=stride,
                                   max_frames=max_frames)
     F = images01.shape[0]
+    if F < 2:
+        raise ValueError(f"need at least 2 frames, found {F} under "
+                         f"{image_dir} (stride={stride})")
     graph = scene_graph or pairs.eval_scene_graph(F)
     edges = pairs.make_pairs(F, graph, symmetrize=True)
     verbose(f"stage1: {F} frames, graph {graph} -> {len(edges)} edges")
@@ -122,9 +125,16 @@ def run_scene(
         verbose("stage1: computing RAFT flows for the alignment flow loss")
         flows = compute_edge_flows(raft_params, images01, edges)
 
-    scene = alignment.align(
-        edges, preds.pred_i, preds.pred_j, preds.conf_i, preds.conf_j,
-        preds.mask_i, aligner_cfg, flows=flows)
+    if F > 2:
+        scene = alignment.align(
+            edges, preds.pred_i, preds.pred_j, preds.conf_i, preds.conf_j,
+            preds.mask_i, aligner_cfg, flows=flows)
+    else:
+        # exactly one symmetrized pair: closed-form PairViewer path
+        # (reference pose_eval.py:119 / :315 — no optimization for 2 frames)
+        scene = alignment.pair_view(
+            edges, preds.pred_i, preds.pred_j, preds.conf_i, preds.conf_j,
+            preds.mask_i, aligner_cfg)
     verbose(f"stage1: alignment loss {scene.final_loss:.5f}")
 
     save_stage1_outputs(out_dir, images01, scene)

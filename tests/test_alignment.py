@@ -152,3 +152,51 @@ class TestCleanPointcloud:
         out = alignment.align(edges, pred_i, pred_j, conf, conf, mask, cfg)
         m = traj_eval.eval_metrics(out.poses_c2w, gt_poses)
         assert np.isfinite(out.depths).all()
+
+
+def test_pair_view_recovers_pose_and_focal():
+    """pair_view (PairViewer equivalent): exact synthetic two-view pointmaps
+    -> closed-form focal + PnP pose without optimization."""
+    import numpy as np
+    from das3r_tpu.predictor import alignment
+    H, W, f = 48, 64, 60.0
+    pp = np.asarray([W / 2, H / 2], np.float32)
+    rng = np.random.default_rng(7)
+    # ground-truth scene: random depths in view 1's frame
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+    z = rng.uniform(2.0, 6.0, (H, W)).astype(np.float32)
+    pts1 = np.stack([(xx - pp[0]) / f * z, (yy - pp[1]) / f * z, z], -1)
+    # camera 2: small rotation + translation (c2w)
+    th = 0.1
+    R = np.asarray([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    t = np.asarray([0.3, -0.1, 0.2], np.float32)
+    w2c2 = np.eye(4, dtype=np.float32)
+    w2c2[:3, :3], w2c2[:3, 3] = R.T, -R.T @ t
+    pts_in2 = pts1.reshape(-1, 3) @ w2c2[:3, :3].T + w2c2[:3, 3]
+    pts_in2 = pts_in2.reshape(H, W, 3)     # view 0's points in cam-2 frame
+    # view 1's own pointmap: its pixel grid unprojected with depths z2
+    c2w2 = np.linalg.inv(w2c2)
+    z2 = rng.uniform(2.0, 6.0, (H, W)).astype(np.float32)
+    cam2pts = np.stack([(xx - pp[0]) / f * z2, (yy - pp[1]) / f * z2, z2], -1)
+    p2_in0 = cam2pts.reshape(-1, 3) @ c2w2[:3, :3].T + c2w2[:3, 3]
+    p2_in0 = p2_in0.reshape(H, W, 3)       # view 1's points in frame 0
+
+    edges = [(0, 1), (1, 0)]
+    pred_i = np.stack([pts1, cam2pts])     # pred_i[e]: i's pts in frame i
+    pred_j = np.stack([p2_in0, pts_in2])   # pred_j[e]: j's pts in frame i
+    conf_hi = np.full((H, W), 9.0, np.float32)
+    conf_lo = np.full((H, W), 4.0, np.float32)
+    conf_i = np.stack([conf_hi, conf_lo])  # edge (0,1) wins -> world = cam 1
+    conf_j = np.stack([conf_hi, conf_lo])
+    mask_i = np.zeros((2, H, W), np.float32)
+
+    scene = alignment.pair_view(edges, pred_i, pred_j, conf_i, conf_j,
+                                mask_i)
+    assert scene.final_loss == 0.0
+    np.testing.assert_allclose(scene.poses_c2w[0], np.eye(4), atol=1e-5)
+    np.testing.assert_allclose(scene.poses_c2w[1], c2w2, atol=1e-3)
+    np.testing.assert_allclose(scene.focals, f, rtol=0.02)
+    np.testing.assert_allclose(scene.depths[0], z, atol=1e-4)
+    # view 2's depth: its frame-0 points taken back into cam 2 = z2
+    np.testing.assert_allclose(scene.depths[1], z2, atol=1e-2)
