@@ -31,7 +31,7 @@ def main():
     settings = RasterSettings(
         image_height=HEIGHT, image_width=WIDTH, sh_degree=3,
         max_per_tile=1024, max_tiles_per_gaussian=32,
-        max_total_entries=8 * N_GAUSSIANS, depth_sort_bits=22)
+        max_total_entries=8 * N_GAUSSIANS)
     params, meta, poses = random_gaussian_scene(
         n=N_GAUSSIANS, n_frames=2, height=HEIGHT, width=WIDTH, seed=0)
     bg = jnp.zeros(3)
@@ -48,21 +48,25 @@ def main():
     # Each iteration's pose depends on the previous iteration's gradient:
     # the chain defeats any execution memoization in the device transport
     # and forces sequential execution, so wall-clock / iters is honest.
-    @jax.jit
-    def step(params, pose7):
+    # All ITERS iterations run inside ONE lax.scan dispatch — exactly how
+    # the trainer executes (scan-chunked epochs) — so per-dispatch relay
+    # latency (~10 ms/call through axon) is excluded from the measurement.
+    def one(pose7):
         g_params, g_pose = jax.grad(loss_fn, argnums=(0, 1))(params, pose7)
-        feedback = 1e-12 * (jnp.sum(g_pose) + jnp.sum(g_params.xyz))
-        return g_params, pose7 + feedback
+        return pose7 + 1e-12 * (jnp.sum(g_pose) + jnp.sum(g_params.xyz))
+
+    @jax.jit
+    def chain(pose7):
+        c, _ = jax.lax.scan(lambda c, _: (one(c), ()), pose7, None,
+                            length=ITERS)
+        return c
 
     pose = poses.pose(0)
-    _, pose_w = step(params, pose)           # compile + warm up
-    jax.block_until_ready(pose_w)
+    jax.block_until_ready(chain(pose))       # compile + warm up
 
     t0 = time.perf_counter()
-    p = pose + 1e-6
-    for _ in range(ITERS):
-        g, p = step(params, p)
-    jax.block_until_ready((g, p))
+    p = chain(pose + 1e-6)
+    jax.block_until_ready(p)
     dt = time.perf_counter() - t0
 
     mpix_s = HEIGHT * WIDTH * ITERS / dt / 1e6

@@ -66,25 +66,36 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     # Duplication table: entry (i, d) = d-th rect cell of depth-ranked
     # gaussian i. Tile id n_tiles is the out-of-range sentinel.
     d_idx = jnp.arange(d_cap, dtype=jnp.int32)[None, :]   # [1, D]
-    ty = rect_min[:, 1:2] + d_idx // width[:, None]
-    tx = rect_min[:, 0:1] + d_idx % width[:, None]
+    # d // width via float: (d + 0.5)/w lies strictly inside
+    # (d/w, (d+1)/w) for integer d >= 0, w >= 1, and the f32 error at these
+    # magnitudes (< 2^15) is far below the 0.5/w interval margin — integer
+    # division on the VPU is much slower than a float multiply.
+    row = ((d_idx.astype(jnp.float32) + 0.5)
+           / width[:, None].astype(jnp.float32)).astype(jnp.int32)
+    col = d_idx - row * width[:, None]
+    ty = rect_min[:, 1:2] + row
+    tx = rect_min[:, 0:1] + col
     tile = ty * s.tiles_x + tx
     dup_valid = alive_sorted[:, None] & (d_idx < ntt[:, None])
     tile = jnp.where(dup_valid, tile, s.n_tiles).astype(jnp.int32)
 
-    flat_gid = jnp.broadcast_to(
-        order[:, None].astype(jnp.int32), (n, d_cap)).reshape(-1)
     entry_overflow = jnp.zeros((), jnp.int32)
 
     # Pack (tile, depth-rank) into one uint32 key: a Gaussian touches a
-    # tile at most once, so (tile * N + depth_rank) is unique and ordering
-    # by it equals tile-major depth-minor — a stable sort's result from ONE
-    # unstable single-key sort. (The dup-table row index IS the depth rank
-    # because rows were re-indexed into depth order above.)
-    packable = (s.n_tiles + 1) * n < 2**32
+    # tile at most once, so (tile << nbits | depth_rank) is unique and
+    # ordering by it equals tile-major depth-minor — a stable sort's result
+    # from ONE unstable single-key sort. (The dup-table row index IS the
+    # depth rank because rows were re-indexed into depth order above.)
+    # The key is SELF-DESCRIBING — gid = order[key & (2^nbits - 1)] — so
+    # the sort carries NO payload (half the bitonic data movement of a
+    # (key, gid) pair sort) and the gid half of the compaction scatter
+    # disappears.
+    nbits = max(int(n - 1).bit_length(), 1)
+    packable = (s.n_tiles + 1) << nbits <= 2**32
     if packable:
         rank = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
-        packed = tile.astype(jnp.uint32) * jnp.uint32(n) + rank
+        packed = (tile.astype(jnp.uint32) << nbits) | rank
+        sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
 
     if packable and s.max_total_entries is not None:
         # Compact the (mostly padding) N*D table into a dense buffer before
@@ -99,37 +110,46 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
         pos = jnp.where(in_buf, pos, e_cap).reshape(-1)
         total = base[-1] + ntt[-1]
         entry_overflow = jnp.maximum(total - e_cap, 0).astype(jnp.int32)
-        sentinel = jnp.uint32((s.n_tiles + 1) * n - 1)
         buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
-            jnp.where(in_buf, packed, sentinel).reshape(-1))[:-1]
-        buf_gid = jnp.zeros((e_cap + 1,), jnp.int32).at[pos].set(
-            flat_gid)[:-1]
-        sorted_packed, sorted_gid = jax.lax.sort(
-            (buf_key, buf_gid), dimension=0, num_keys=1)
+            jnp.where(in_buf, packed, sentinel).reshape(-1),
+            unique_indices=True)[:-1]
+        sorted_packed = jax.lax.sort(buf_key, dimension=0)
         n_entries = e_cap
     elif packable:
-        sorted_packed, sorted_gid = jax.lax.sort(
-            (packed.reshape(-1), flat_gid), dimension=0, num_keys=1)
+        sorted_packed = jax.lax.sort(packed.reshape(-1), dimension=0)
         n_entries = n * d_cap
     else:
+        flat_gid = jnp.broadcast_to(
+            order[:, None].astype(jnp.int32), (n, d_cap)).reshape(-1)
         sorted_tile_arr, sorted_gid = jax.lax.sort(
             (tile.reshape(-1), flat_gid), dimension=0, is_stable=True,
             num_keys=1)
         n_entries = n * d_cap
-    if packable:
-        sorted_tile = (sorted_packed // jnp.uint32(n)).astype(jnp.int32)
-    else:
-        sorted_tile = sorted_tile_arr
-
-    tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_tile, tile_ids, side="left")
-    end = jnp.searchsorted(sorted_tile, tile_ids, side="right")
-    full_count = (end - start).astype(jnp.int32)
-    count = jnp.minimum(full_count, s.max_per_tile)
-
     slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]   # [1, K]
-    gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
-    gid = sorted_gid[gather_idx]                           # [T, K]
+    if packable:
+        # One (T+1)-query search gives every tile's [start, end) directly on
+        # the raw keys (entries of tile t are < (t+1) << nbits), and the gid
+        # mapping composes at [T, K] granularity — no 800k-entry
+        # sorted_tile / sorted_gid arrays are ever materialized.
+        bounds = jnp.searchsorted(
+            sorted_packed,
+            jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits,
+            side="left")
+        start, end = bounds[:-1], bounds[1:]
+        full_count = (end - start).astype(jnp.int32)
+        count = jnp.minimum(full_count, s.max_per_tile)
+        gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
+        gid = order.astype(jnp.int32)[
+            (sorted_packed[gather_idx]
+             & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)]   # [T, K]
+    else:
+        tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
+        start = jnp.searchsorted(sorted_tile_arr, tile_ids, side="left")
+        end = jnp.searchsorted(sorted_tile_arr, tile_ids, side="right")
+        full_count = (end - start).astype(jnp.int32)
+        count = jnp.minimum(full_count, s.max_per_tile)
+        gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
+        gid = sorted_gid[gather_idx]                       # [T, K]
     return TileBins(gid=gid, count=count, full_count=full_count,
                     dup_overflow=dup_overflow,
                     entry_overflow=entry_overflow)
@@ -176,8 +196,9 @@ def _bin_quantized_depth(prep: Preprocessed,
 
     gids = jax.lax.broadcasted_iota(jnp.int32, (n, d_cap), 0).reshape(-1)
     buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
-        jnp.where(in_buf, key, sentinel).reshape(-1))[:-1]
-    buf_gid = jnp.zeros((e_cap + 1,), jnp.int32).at[pos].set(gids)[:-1]
+        jnp.where(in_buf, key, sentinel).reshape(-1), unique_indices=True)[:-1]
+    buf_gid = jnp.zeros((e_cap + 1,), jnp.int32).at[pos].set(
+        gids, unique_indices=True)[:-1]
     sorted_key, sorted_gid = jax.lax.sort(
         (buf_key, buf_gid), dimension=0, num_keys=1)
     sorted_tile = (sorted_key >> bits).astype(jnp.int32)

@@ -74,7 +74,7 @@ def build_scene(
         # compact the binning sort; 8 entries/Gaussian covers typical
         # scenes with slack (overflow telemetry in RasterAux)
         max_total_entries=8 * params.xyz.shape[0],
-        depth_sort_bits=22)
+        depth_sort_bits=0)
 
     return SceneBundle(params=params, meta=meta, scene=scene, poses=poses,
                        test_poses=test_poses, settings=settings,

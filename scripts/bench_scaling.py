@@ -45,7 +45,7 @@ def main(argv=None):
     settings = RasterSettings(
         image_height=args.height, image_width=args.width, sh_degree=3,
         max_per_tile=512, max_tiles_per_gaussian=16,
-        max_total_entries=4 * args.gaussians, depth_sort_bits=22)
+        max_total_entries=4 * args.gaussians)
     params, meta, poses = random_gaussian_scene(
         n=args.gaussians, n_frames=2, height=args.height, width=args.width)
     bg = jnp.zeros(3)
