@@ -76,6 +76,29 @@ def _shifted_suffix_sum(e, chunk: int):
     return x
 
 
+def _tri_lt(chunk: int):
+    """[chunk, chunk] f32, 1 where row < col (strict lower-triangular
+    contraction mask: out[:, j] = sum_{k < j} in[:, k])."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (r < c).astype(jnp.float32)
+
+
+def _tri_gt(chunk: int):
+    """1 where row > col: out[:, j] = sum_{k > j} in[:, k] (suffix sum)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (r > c).astype(jnp.float32)
+
+
+def _mm(x, m):
+    """[P, chunk] @ [chunk, chunk] on the MXU in fp32."""
+    return jax.lax.dot_general(
+        x, m, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _pixel_coords(settings: RasterSettings, tile_idx):
     """Per-tile pixel coords as [P, 1] columns (pixels on sublanes)."""
     s = settings
@@ -128,10 +151,11 @@ def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
         _, _, _, _, _, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
         one_m = 1.0 - a
-        p_incl = _shifted_prefix_product(one_m, chunk)
-        t_after = T * p_incl                         # [P, chunk]
-        cum_before = jnp.where(
-            _lane_iota(P, chunk) == 0, T, T * pltpu.roll(p_incl, 1, 1))
+        # log-space exclusive prefix product on the MXU: alpha is clipped at
+        # 0.99 so log1p(-a) >= log(0.01) is finite; invalid lanes have a=0
+        # (log 0-neutral). Replaces the 7-round Hillis-Steele VPU scan.
+        cum_before = T * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))
+        t_after = cum_before * one_m                 # [P, chunk]
         contribute = valid & (t_after >= s.transmittance_eps)
         w = jnp.where(contribute, a * cum_before, 0.0)
         sl = pl.ds(c * chunk, chunk)
@@ -193,8 +217,7 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
         _, _, _, _, _, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
         one_m = 1.0 - a
-        p_incl = _shifted_prefix_product(one_m, chunk)
-        t_after = T * p_incl
+        t_after = (T * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))) * one_m
         contribute = valid & (t_after >= s.transmittance_eps)
         t_cand = jnp.where(contribute, t_after, T)
         return c + 1, jnp.min(t_cand, axis=1, keepdims=True)
@@ -213,10 +236,8 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
         dx, dy, power, alpha_raw, alpha, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
         one_m = 1.0 - a
-        p_incl = _shifted_prefix_product(one_m, chunk)
-        t_after = T_in * p_incl
-        cum_before = jnp.where(
-            _lane_iota(P, chunk) == 0, T_in, T_in * pltpu.roll(p_incl, 1, 1))
+        cum_before = T_in * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))
+        t_after = cum_before * one_m
         contribute = valid & (t_after >= s.transmittance_eps)
         w = jnp.where(contribute, a * cum_before, 0.0)
 
@@ -230,7 +251,7 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
             gc = gc + gch * col
 
         e = gc * w                                   # [P, chunk]
-        S_within = _shifted_suffix_sum(e, chunk)
+        S_within = _mm(e, _tri_gt(chunk))            # suffix sum on the MXU
         S_i = S_within + S                           # [P, chunk]
 
         d_alpha = jnp.where(
