@@ -107,6 +107,11 @@ def densify_and_prune(params: GaussianParams, meta: GaussianMeta,
 
     new_alive = alive & ~prune_mask
 
+    # Sources are ALWAYS the pre-write rows: free_list contains the split
+    # originals' own slots (they are pruned), so a clone/split write may land
+    # in a row a later pass still needs to read. Snapshot before any write.
+    src_params = params
+
     def write_new(params, opt_state, new_alive, dst_slots, do,
                   transform=None):
         """Copy candidate rows k -> free_list[dst_slots[k]]; zero their Adam
@@ -125,7 +130,7 @@ def densify_and_prune(params: GaussianParams, meta: GaussianMeta,
         for name in ("xyz", "features_dc", "features_rest", "scaling",
                      "rotation", "opacity"):
             arr = getattr(params, name)
-            rows = arr
+            rows = getattr(src_params, name)
             if transform and name in transform:
                 rows = transform[name](rows)
             fields[name] = scatter_rows(arr, rows)
@@ -154,9 +159,10 @@ def densify_and_prune(params: GaussianParams, meta: GaussianMeta,
     n_clone_used = do_clone.sum()
     reports_overflow = (n_clones_want - n_clone_used)
     key_iter = jax.random.split(key, cfg.split_n)
+    R = quat_to_rotmat(src_params.rotation)
+    n_split_written = jnp.zeros((), jnp.int32)
     for s in range(cfg.split_n):
-        noise = jax.random.normal(key_iter[s], params.xyz.shape) * scales
-        R = quat_to_rotmat(params.rotation)
+        noise = jax.random.normal(key_iter[s], src_params.xyz.shape) * scales
         offset = jnp.einsum("nij,nj->ni", R, noise)
         transform = {
             "xyz": lambda rows, o=offset: rows + o,
@@ -168,6 +174,7 @@ def densify_and_prune(params: GaussianParams, meta: GaussianMeta,
             params, opt_state, new_alive, slot, do_split,
             transform=transform)
         reports_overflow += (split_mask.sum() - do_split.sum())
+        n_split_written += do_split.sum().astype(jnp.int32)
 
     # dead slots: force opacity to -inf-ish so they are never binned
     params = params._replace(
@@ -180,7 +187,7 @@ def densify_and_prune(params: GaussianParams, meta: GaussianMeta,
         max_radii2d=jnp.zeros_like(meta.max_radii2d))
     report = DensifyReport(
         n_cloned=n_clone_used.astype(jnp.int32),
-        n_split=split_mask.sum().astype(jnp.int32),
+        n_split=n_split_written,
         n_pruned=prune_mask.sum().astype(jnp.int32),
         n_overflow=reports_overflow.astype(jnp.int32))
     return params, meta, opt_state, report

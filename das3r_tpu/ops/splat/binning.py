@@ -59,7 +59,11 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     alive_sorted = alive[order]
 
     width = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    ntt = jnp.minimum(prep.n_tiles_touched[order], d_cap)
+    # Zero ntt for non-binnable rows (mirrors _bin_quantized_depth): they
+    # never emit keys, so they must not consume compact-buffer positions or
+    # inflate total/entry_overflow.
+    ntt = jnp.where(alive_sorted,
+                    jnp.minimum(prep.n_tiles_touched[order], d_cap), 0)
     dup_overflow = jnp.sum(
         (prep.n_tiles_touched > d_cap).astype(jnp.int32))
 

@@ -81,13 +81,19 @@ class TestCloneSplit:
                                     extent=1.0)
         p2, m2, o2, rep = densify.densify_and_prune(
             params, meta, opt, jax.random.PRNGKey(1), cfg)
-        assert int(rep.n_split) == 4
+        assert int(rep.n_split) == 8  # children actually written
         # 20 alive - 4 split originals + 8 children
         assert int(m2.alive.sum()) == 20 - 4 + 8
-        # children scales shrunk by 0.8*N
+        # EVERY child's scale is exp(s)/(0.8*N) — exactly one shrink, never a
+        # compounded one (free_list overlap bug: children must be sourced from
+        # pre-write rows even when a destination slot aliases a source row)
         child_scale = np.exp(1.0) / (0.8 * 2)
         scales_alive = np.exp(np.asarray(p2.scaling)[np.asarray(m2.alive)])
-        assert (np.abs(scales_alive - child_scale) < 1e-4).any()
+        is_child = np.abs(scales_alive - child_scale).max(1) < 1e-4
+        assert is_child.sum() == 8
+        # and no row carries a double-shrunk scale exp(s)/(0.8*N)^2
+        double = np.exp(1.0) / (0.8 * 2) ** 2
+        assert not (np.abs(scales_alive - double).max(1) < 1e-4).any()
 
     def test_overflow_reported(self):
         params, meta, opt = setup_scene(n=120, cap=128)
