@@ -193,6 +193,22 @@ def densify_and_prune(params: GaussianParams, meta: GaussianMeta,
     return params, meta, opt_state, report
 
 
+def reset_opacity(params: GaussianParams, opt_state: AdamState,
+                  max_opacity: float = 0.01):
+    """Clamp every opacity to at most ``max_opacity`` and clear the opacity
+    leaf's Adam moments (reference ``reset_opacity`` + its
+    ``replace_tensor_to_optimizer`` state wipe, gaussian_model.py:426-434,
+    445-461; invoked every opacity_reset_interval iters,
+    train_gui.py:618-623)."""
+    logit = jnp.log(max_opacity / (1.0 - max_opacity))
+    new_opacity = jnp.minimum(params.opacity, logit)
+    new_opt = AdamState(
+        count=opt_state.count,
+        mu=opt_state.mu._replace(opacity=jnp.zeros_like(opt_state.mu.opacity)),
+        nu=opt_state.nu._replace(opacity=jnp.zeros_like(opt_state.nu.opacity)))
+    return params._replace(opacity=new_opacity), new_opt
+
+
 def grow_capacity(params: GaussianParams, meta: GaussianMeta,
                   opt_state: AdamState, extra: int):
     """Host-side capacity growth (recompiles downstream jits once)."""

@@ -61,6 +61,9 @@ def render(
     mode: str = "train",           # train | test | no_soft | confidence
     conf_per_gaussian: jax.Array | None = None,  # test mode (PLY-loaded)
     capture_mean2d_grad: bool = False,
+    mean2d_offset: jax.Array | None = None,  # external zeros [Nc, 2] whose
+                                             # cotangent is the densification
+                                             # screen-space gradient signal
     tile_axis: str | None = None,  # mesh axis to shard image tiles over
 ) -> RenderOutput:
     """One differentiable render of the scene from ``camera_pose``.
@@ -74,8 +77,13 @@ def render(
     # guard dead capacity slots: a degenerate (near-zero) stored quaternion
     # would inject NaN into the backward pass through quat normalization
     # even though such Gaussians are culled in the forward.
-    safe_rot = jnp.where(meta.alive[:, None], params.rotation,
-                         jnp.asarray([1.0, 0, 0, 0], params.rotation.dtype))
+    # PERF: both where-operands must be pre-broadcast to [Nc, 4] — XLA lowers
+    # a ([Nc,1] bool, [Nc,4], [4]) where ~12x slower on TPU (docs/PERF.md).
+    safe_rot = jnp.where(
+        jnp.broadcast_to(meta.alive[:, None], params.rotation.shape),
+        params.rotation,
+        jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], params.rotation.dtype),
+                         params.rotation.shape))
     params = params._replace(rotation=safe_rot)
     xyz_cam, rot_cam = _camera_frame_gaussians(params, camera_pose)
     opacity = activated_opacity(params)          # [Nc, 1]
@@ -106,8 +114,9 @@ def render(
 
     view, proj, campos, tfx, tfy = _raster_common(fovx, fovy)
 
-    offset = (jnp.zeros_like(params.xyz[:, :2])
-              if capture_mean2d_grad else None)
+    offset = mean2d_offset
+    if offset is None and capture_mean2d_grad:
+        offset = jnp.zeros_like(params.xyz[:, :2])
     img, radii, aux = rasterize(
         xyz_cam, opacity, settings,
         viewmatrix=view, projmatrix=proj, campos=campos, bg=bg,

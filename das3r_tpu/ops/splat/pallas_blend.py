@@ -137,7 +137,7 @@ def _chunk_quantities(attr_ref, px, py, c, chunk, count, settings):
 
 
 def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
-                    *, settings: RasterSettings, chunk: int):
+                    tin_ref, *, settings: RasterSettings, chunk: int):
     s = settings
     P = s.tile * s.tile
     K = s.max_per_tile
@@ -145,9 +145,15 @@ def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
     t = pl.program_id(0)
     count = count_ref[t]
     px, py = _pixel_coords(s, t)
+    # Per-chunk ENTRY transmittance, saved for the backward pass (kills its
+    # forward-replay phase). Zero rows mark chunks the early-termination
+    # loop never visited: visited rows always satisfy max(T) >= eps (the
+    # loop condition), so the backward recovers n_stop by thresholding.
+    tin_ref[:, :, :] = jnp.zeros((n_chunks, P, 1), jnp.float32)
 
     def body(c, carry):
         C, T = carry                                # [P, 3], [P, 1]
+        tin_ref[c, :, :] = T
         _, _, _, _, _, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
         one_m = 1.0 - a
@@ -187,10 +193,10 @@ def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
 
 
 def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
-                     grad_ref, tin_scratch,
+                     tin_ref, grad_ref,
                      *, settings: RasterSettings, chunk: int):
-    """Per-tile backward: forward replay storing per-chunk carry T, then a
-    reverse sweep with the suffix accumulator."""
+    """Per-tile backward: single reverse sweep with the suffix accumulator,
+    reading the per-chunk entry transmittance the forward kernel saved."""
     s = settings
     P = s.tile * s.tile
     K = s.max_per_tile
@@ -201,38 +207,24 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
     g = cot_ref[:, :]                                # [P, 3] dL/d(tile color)
     grad_ref[:, :] = jnp.zeros((N_ATTR, K), jnp.float32)
 
-    # ---- phase 1: forward replay, store T at the START of each chunk.
-    # Early exit mirrors the forward kernel: once every pixel's
-    # transmittance is below eps (or the live count is exhausted) later
-    # chunks contribute nothing — and therefore receive zero gradient, so
-    # phase 2 can skip them too.
-    def fcond(state):
-        c, T = state
-        return (c < pl.cdiv(count, chunk)) & (
-            jnp.max(T) >= s.transmittance_eps)
+    # Chunks the forward's early-termination loop visited have entry
+    # transmittance rows with max(T) >= eps (the loop condition); unvisited
+    # rows were zero-filled. Visited chunks form a prefix, so n_stop is a
+    # count — chunks beyond it contributed nothing and get zero gradient.
+    n_stop = 0
+    for c in range(n_chunks):
+        n_stop = n_stop + jnp.where(
+            jnp.max(tin_ref[c, :, :]) >= s.transmittance_eps, 1, 0)
+    T_final = tfinal_ref[:, :]                       # [P, 1]
 
-    def fbody(state):
-        c, T = state
-        tin_scratch[c, :, :] = T
-        _, _, _, _, _, valid, a = _chunk_quantities(
-            attr_ref, px, py, c, chunk, count, s)
-        one_m = 1.0 - a
-        t_after = (T * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))) * one_m
-        contribute = valid & (t_after >= s.transmittance_eps)
-        t_cand = jnp.where(contribute, t_after, T)
-        return c + 1, jnp.min(t_cand, axis=1, keepdims=True)
-
-    n_stop, T_final = jax.lax.while_loop(
-        fcond, fbody, (0, jnp.ones((P, 1), jnp.float32)))
-
-    # ---- phase 2: reverse sweep
+    # ---- reverse sweep
     bg = bg_ref[0, :].reshape(1, 3)
     gbg = jnp.sum(g * bg, axis=1, keepdims=True)     # [P, 1]
     S_init = gbg * T_final                           # bg term of the suffix
 
     def bbody(i, S):
         c = n_stop - 1 - i
-        T_in = tin_scratch[c, :, :]
+        T_in = tin_ref[c, :, :]
         dx, dy, power, alpha_raw, alpha, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, count, s)
         one_m = 1.0 - a
@@ -297,7 +289,7 @@ def blend_tiles_pallas(attrs: jax.Array, counts: jax.Array, bg: jax.Array,
 
     Gradients flow to ``attrs`` and ``bg`` (counts are integers).
     """
-    colors, _ = _forward_impl(attrs, counts, bg, settings)
+    colors, _, _ = _forward_impl(attrs, counts, bg, settings)
     return colors
 
 
@@ -322,27 +314,30 @@ def _forward_impl(attrs, counts, bg, settings: RasterSettings):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 1), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, K // chunk, P, 1), lambda t, c: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    colors, tfinal = pl.pallas_call(
+    colors, tfinal, tin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_tiles, P, 3), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T_tiles, K // chunk, P, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(counts, attrs, bg.reshape(1, 3))
-    return colors, tfinal
+    return colors, tfinal, tin
 
 
 def _fwd(attrs, counts, bg, settings):
-    colors, tfinal = _forward_impl(attrs, counts, bg, settings)
-    return colors, (attrs, counts, bg, tfinal)
+    colors, tfinal, tin = _forward_impl(attrs, counts, bg, settings)
+    return colors, (attrs, counts, bg, tfinal, tin)
 
 
 def _bwd(settings: RasterSettings, res, g_colors):
-    attrs, counts, bg, tfinal = res
+    attrs, counts, bg, tfinal, tin = res
     s = settings
     T_tiles = s.n_tiles
     P = s.tile * s.tile
@@ -362,17 +357,18 @@ def _bwd(settings: RasterSettings, res, g_colors):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 1), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_chunks, P, 1), lambda t, c: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_chunks, P, 1), jnp.float32)],
     )
     g_attrs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_tiles, N_ATTR, K), jnp.float32),
         interpret=_interpret(),
-    )(counts, attrs, bg.reshape(1, 3), g_colors, tfinal)
+    )(counts, attrs, bg.reshape(1, 3), g_colors, tfinal, tin)
     # bg gradient: dL/dbg = sum over pixels of g * T_final
     g_bg = jnp.sum(g_colors * tfinal, axis=(0, 1))
     return g_attrs, None, g_bg

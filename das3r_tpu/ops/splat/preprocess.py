@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from das3r_tpu.ops.splat.settings import RasterSettings
 from das3r_tpu.utils import sh as sh_lib
-from das3r_tpu.utils.quat import quat_to_rotmat
 
 
 class Preprocessed(NamedTuple):
@@ -49,14 +48,35 @@ def build_cov3d(scales: jax.Array, rotations: jax.Array,
     triangular 3D covariance (xx, xy, xz, yy, yz, zz).
 
     Sigma = R S^2 R^T — same as the CUDA ``computeCov3D`` / python mirror
-    utils/general_utils.py:101-110.
+    utils/general_utils.py:101-110. Hand-expanded over [N] scalar columns
+    (structure-of-arrays): the [N,3,3] einsum formulation materializes
+    tile-padded intermediates and measures ~3x slower on TPU (docs/PERF.md).
     """
-    R = quat_to_rotmat(rotations)                      # normalizes internally
-    L = R * (scales * scale_modifier)[:, None, :]      # R @ diag(s)
-    sigma = jnp.einsum("nij,nkj->nik", L, L, precision="highest")           # L @ L^T
-    return jnp.stack(
-        [sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
-         sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]], -1)
+    q = rotations / jnp.linalg.norm(rotations, axis=-1,
+                                    keepdims=True).clip(1e-12)
+    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R00 = 1 - 2 * (y * y + z * z)
+    R01 = 2 * (x * y - r * z)
+    R02 = 2 * (x * z + r * y)
+    R10 = 2 * (x * y + r * z)
+    R11 = 1 - 2 * (x * x + z * z)
+    R12 = 2 * (y * z - r * x)
+    R20 = 2 * (x * z - r * y)
+    R21 = 2 * (y * z + r * x)
+    R22 = 1 - 2 * (x * x + y * y)
+    sc = scales * scale_modifier
+    s0, s1, s2 = sc[:, 0], sc[:, 1], sc[:, 2]
+    L00, L01, L02 = R00 * s0, R01 * s1, R02 * s2
+    L10, L11, L12 = R10 * s0, R11 * s1, R12 * s2
+    L20, L21, L22 = R20 * s0, R21 * s1, R22 * s2
+    return jnp.stack([
+        L00 * L00 + L01 * L01 + L02 * L02,
+        L00 * L10 + L01 * L11 + L02 * L12,
+        L00 * L20 + L01 * L21 + L02 * L22,
+        L10 * L10 + L11 * L11 + L12 * L12,
+        L10 * L20 + L11 * L21 + L12 * L22,
+        L20 * L20 + L21 * L21 + L22 * L22,
+    ], -1)
 
 
 def _cov2d(mean_view: jax.Array, cov3d: jax.Array, viewmatrix: jax.Array,
@@ -74,28 +94,36 @@ def _cov2d(mean_view: jax.Array, cov3d: jax.Array, viewmatrix: jax.Array,
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # J: [N, 2, 3] jacobian of (pixel) projection wrt view coords
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * txtz * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * tytz * inv_z2], -1),
-    ], -2)
+    # Hand-expanded J @ W and T Sigma T^T over [N] scalar columns (SoA) —
+    # the [N,2,3]/[N,3,3] einsum formulation materializes tile-padded
+    # intermediates and measures ~3x slower on TPU (docs/PERF.md).
+    # J rows: (fx/z, 0, -fx*txtz/z^2), (0, fy/z, -fy*tytz/z^2).
+    j00 = focal_x * inv_z
+    j02 = -focal_x * txtz * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * tytz * inv_z2
     # W: world->view rotation. Row-vector convention means viewmatrix[:3,:3]
     # is R^T of the math convention, so the math rotation is its transpose.
-    Wr = viewmatrix[:3, :3].T                           # [3, 3]
-    T = jnp.einsum("nij,jk->nik", J, Wr, precision="highest")                # [N, 2, 3]
+    Wr = viewmatrix[:3, :3].T                           # [3, 3] (traced)
+    T00 = j00 * Wr[0, 0] + j02 * Wr[2, 0]
+    T01 = j00 * Wr[0, 1] + j02 * Wr[2, 1]
+    T02 = j00 * Wr[0, 2] + j02 * Wr[2, 2]
+    T10 = j11 * Wr[1, 0] + j12 * Wr[2, 0]
+    T11 = j11 * Wr[1, 1] + j12 * Wr[2, 1]
+    T12 = j11 * Wr[1, 2] + j12 * Wr[2, 2]
 
-    c = cov3d
-    sigma = jnp.stack([
-        jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
-        jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
-        jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
-    ], -2)                                              # [N, 3, 3]
-    cov = jnp.einsum("nij,njk,nlk->nil", T, sigma, T,
-                     precision="highest")   # [N, 2, 2]
-    xx = cov[:, 0, 0] + 0.3
-    yy = cov[:, 1, 1] + 0.3
-    xy = cov[:, 0, 1]
+    c0, c1, c2 = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    c3, c4, c5 = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
+    # rows of T @ Sigma (Sigma symmetric)
+    s00 = T00 * c0 + T01 * c1 + T02 * c2
+    s01 = T00 * c1 + T01 * c3 + T02 * c4
+    s02 = T00 * c2 + T01 * c4 + T02 * c5
+    s10 = T10 * c0 + T11 * c1 + T12 * c2
+    s11 = T10 * c1 + T11 * c3 + T12 * c4
+    s12 = T10 * c2 + T11 * c4 + T12 * c5
+    xx = s00 * T00 + s01 * T01 + s02 * T02 + 0.3
+    xy = s00 * T10 + s01 * T11 + s02 * T12
+    yy = s10 * T10 + s11 * T11 + s12 * T12 + 0.3
     return jnp.stack([xx, xy, yy], -1)
 
 
@@ -154,7 +182,7 @@ def preprocess(
         assert scales is not None and rotations is not None
         cov3d = build_cov3d(scales, rotations, s.scale_modifier)
 
-    safe_view = jnp.where(in_front[:, None],
+    safe_view = jnp.where(jnp.broadcast_to(in_front[:, None], (n, 3)),
                           p_view[:, :3], jnp.ones((n, 3), f32))
     cov2d = _cov2d(safe_view, cov3d, viewmatrix,
                    focal_x, focal_y, tan_fovx, tan_fovy)

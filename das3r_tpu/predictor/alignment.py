@@ -25,6 +25,7 @@ focal_break * log(f).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -483,38 +484,64 @@ def optimize(params: AlignParams, edge: EdgeData, dyn_masks,
              cfg: AlignerConfig, n_frames: int, height: int, width: int,
              flows=None, callback=None):
     """Run the Adam(0.9, 0.9) alignment loop (base_opt
-    global_alignment_loop :510-580). Returns (params, final_loss)."""
+    global_alignment_loop :510-580). Returns (params, final_loss).
+
+    The ``niter`` iterations execute as ~10 ``lax.scan`` chunks (one device
+    dispatch each): the per-iteration lr schedule is precomputed into an
+    array the scan consumes, so the host only syncs at chunk boundaries —
+    through the axon relay each dispatch costs ~10 ms, which at the
+    reference's 300 iterations is ~3 s of pure overhead (docs/PERF.md).
+    ``callback(it, loss)`` consequently fires once per chunk (with that
+    chunk's final iteration index and loss), not once per iteration.
+    """
     loss_fn = make_align_loss(edge, dyn_masks, flows, cfg, n_frames,
                               height, width)
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     state = optim_mod.adam_init(params)
 
     pp_lr_scale = 1.0 if cfg.optimize_pp else 0.0
 
-    @jax.jit
-    def step(params, state, lr, it):
-        lossv, grads = jax.value_and_grad(loss_fn)(params, it)
-        lrs = AlignParams(
-            pw_poses=lr, im_poses=lr, depth_log=lr, focal_log=lr,
-            pp_off=lr * pp_lr_scale)
-        new_params, new_state = optim_mod.adam_step(
-            params, grads, state, lrs, b1=0.9, b2=0.9, eps=1e-8)
-        return new_params, new_state, lossv
-
-    lossv = jnp.inf
-    for it in range(cfg.niter):
+    def schedule_lr(it: int) -> float:
         t = it / cfg.niter
         if cfg.schedule == "cosine":
-            lr = schedules.cosine_lr(t, cfg.lr, cfg.lr_min)
-        elif cfg.schedule.startswith("cycle"):
-            lr = schedules.cycled_lr(t, cfg.lr, cfg.lr_min)
-        else:
-            lr = schedules.linear_lr(t, cfg.lr, cfg.lr_min)
-        params, state, lossv = step(params, state,
-                                    jnp.asarray(lr, jnp.float32),
-                                    jnp.asarray(it))
+            return schedules.cosine_lr(t, cfg.lr, cfg.lr_min)
+        if cfg.schedule.startswith("cycle"):
+            return schedules.cycled_lr(t, cfg.lr, cfg.lr_min)
+        return schedules.linear_lr(t, cfg.lr, cfg.lr_min)
+
+    lrs_all = jnp.asarray([schedule_lr(it) for it in range(cfg.niter)],
+                          jnp.float32)
+    its_all = jnp.arange(cfg.niter, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_chunk(params, state, lrs, its, *, length):
+        def body(carry, inp):
+            params, state = carry
+            lr, it = inp
+            lossv, grads = jax.value_and_grad(loss_fn)(params, it)
+            lr_tree = AlignParams(
+                pw_poses=lr, im_poses=lr, depth_log=lr, focal_log=lr,
+                pp_off=lr * pp_lr_scale)
+            new_params, new_state = optim_mod.adam_step(
+                params, grads, state, lr_tree, b1=0.9, b2=0.9, eps=1e-8)
+            return (new_params, new_state), lossv
+
+        (params, state), losses = jax.lax.scan(
+            body, (params, state), (lrs, its), length=length)
+        return params, state, losses[-1]
+
+    # Equal-size chunks (one compile) + at most one remainder chunk (a
+    # second compile).
+    chunk = max(1, -(-cfg.niter // 10))
+    lossv = jnp.inf
+    it = 0
+    while it < cfg.niter:
+        size = min(chunk, cfg.niter - it)
+        params, state, lossv = run_chunk(
+            params, state, lrs_all[it:it + size], its_all[it:it + size],
+            length=size)
+        it += size
         if callback is not None:
-            callback(it, float(lossv))
+            callback(it - 1, float(lossv))
     return params, float(lossv)
 
 

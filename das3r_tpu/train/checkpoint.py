@@ -31,21 +31,42 @@ def _flatten_with_paths(tree):
             for path, leaf in flat}
 
 
-def save_train_state(path: str, state: TrainState) -> None:
+def save_train_state(path: str, state: TrainState,
+                     meta: GaussianMeta | None = None) -> None:
+    """Full resumable checkpoint. ``meta`` (alive mask + densification
+    stats) is stored under a ``meta:`` prefix when given — required for
+    bit-exact resume of densifying runs."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(path, **_flatten_with_paths(state))
+    payload = _flatten_with_paths(state)
+    if meta is not None:
+        payload.update({"meta:" + k: v
+                        for k, v in _flatten_with_paths(meta).items()})
+    np.savez_compressed(path, **payload)
 
 
-def load_train_state(path: str, template: TrainState) -> TrainState:
-    data = np.load(path)
+def _unflatten_from(data, template, prefix=""):
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for pathk, leaf in flat:
-        key = jax.tree_util.keystr(pathk)
+        key = prefix + jax.tree_util.keystr(pathk)
         arr = jnp.asarray(data[key])
         assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
         leaves.append(arr.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_train_state(path: str, template: TrainState,
+                     meta_template: GaussianMeta | None = None):
+    """Returns TrainState, or (TrainState, GaussianMeta | None) when
+    ``meta_template`` is given (None if the file predates meta saving)."""
+    data = np.load(path)
+    state = _unflatten_from(data, template)
+    if meta_template is None:
+        return state
+    has_meta = any(k.startswith("meta:") for k in data.files)
+    meta = (_unflatten_from(data, meta_template, prefix="meta:")
+            if has_meta else None)
+    return state, meta
 
 
 def save_scene_ply(path: str, params: GaussianParams,

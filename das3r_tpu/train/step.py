@@ -57,7 +57,8 @@ def init_train_state(params: GaussianParams,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"),
+    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose",
+                     "track_stats"),
     donate_argnames=("state",))
 def train_step(
     state: TrainState,
@@ -71,21 +72,38 @@ def train_step(
     cfg: OptimizationConfig,
     spatial_lr_scale: float = 1.0,
     optim_pose: bool = True,
+    track_stats: bool = False,
 ):
-    """One training iteration. Returns (new_state, StepMetrics)."""
-    step = state.step + 1
+    """One training iteration. Returns (new_state, new_meta, StepMetrics).
 
-    def loss_fn(params: GaussianParams, poses: PoseParams):
+    With ``track_stats`` the screen-space positional gradient (the
+    reference's ``screenspace_points.grad``, train_gui.py:604-608) is
+    captured through an explicit zeros offset input and accumulated into
+    ``meta`` (add_densification_stats); otherwise meta passes through
+    unchanged and XLA removes the dead offset plumbing.
+    """
+    step = state.step + 1
+    offset0 = jnp.zeros_like(state.params.xyz[:, :2])
+
+    def loss_fn(params: GaussianParams, poses: PoseParams, offset):
         pose = poses.pose(uid)
         out = render_mod.render(params, meta, settings, pose, bg, fovx, fovy,
-                                mode="train")
+                                mode="train",
+                                mean2d_offset=offset if track_stats else None)
         static = params.conf_static[uid]
         ph = loss_mod.photometric_loss(out.image, gt_image, static,
                                        cfg.lambda_dssim)
         return ph.loss, (ph.psnr_frame, out.radii)
 
-    (lossv, (psnr_frame, radii)), (g_params, g_poses) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.poses)
+    (lossv, (psnr_frame, radii)), (g_params, g_poses, g_offset) = \
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            state.params, state.poses, offset0)
+
+    if track_stats:
+        from das3r_tpu.models import densify as densify_mod
+        new_meta = densify_mod.add_densification_stats(meta, g_offset, radii)
+    else:
+        new_meta = meta
 
     new_params, new_opt = optim.adam_step(
         state.params, g_params, state.opt,
@@ -102,12 +120,13 @@ def train_step(
     metrics = StepMetrics(loss=lossv, psnr=psnr_frame,
                           cam_stepped=gate,
                           radii_nonzero=jnp.sum((radii > 0).astype(jnp.int32)))
-    return new_state, metrics
+    return new_state, new_meta, metrics
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose"),
+    static_argnames=("settings", "cfg", "spatial_lr_scale", "optim_pose",
+                     "track_stats"),
     donate_argnames=("state",))
 def train_chunk(
     state: TrainState,
@@ -121,21 +140,25 @@ def train_chunk(
     cfg: OptimizationConfig,
     spatial_lr_scale: float = 1.0,
     optim_pose: bool = True,
+    track_stats: bool = False,
 ):
     """Run len(uids) training iterations in ONE XLA computation via
     lax.scan — the TPU-native loop shape: a single dispatch per chunk, no
     per-iteration host round trips (which cost tens of ms on a local host
-    and seconds over remote transports). Returns (state, StepMetrics with
-    leading chunk axis)."""
+    and seconds over remote transports). Returns (state, meta, StepMetrics
+    with leading chunk axis); meta carries densification statistics when
+    ``track_stats``."""
 
-    def body(state, uid):
-        new_state, metrics = train_step(
+    def body(carry, uid):
+        state, meta = carry
+        new_state, new_meta, metrics = train_step(
             state, meta, uid, gt_images[uid], fovx[uid], fovy[uid], bg,
             settings, cfg, spatial_lr_scale=spatial_lr_scale,
-            optim_pose=optim_pose)
-        return new_state, metrics
+            optim_pose=optim_pose, track_stats=track_stats)
+        return (new_state, new_meta), metrics
 
-    return jax.lax.scan(body, state, uids)
+    (state, meta), metrics = jax.lax.scan(body, (state, meta), uids)
+    return state, meta, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "cfg"))
@@ -185,3 +208,32 @@ def test_pose_step(
         tp_state.poses, g_poses, tp_state.opt,
         optim.test_camera_lrs(step, cfg))
     return TestPoseState(poses=new_poses, opt=new_opt), lossv, psnr_v
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "cfg"),
+                   donate_argnames=("tp_state",))
+def test_pose_chunk(
+    tp_state: TestPoseState,
+    params: GaussianParams,
+    meta: GaussianMeta,
+    uids: jax.Array,              # [C] int32 test-frame schedule
+    gt_images: jax.Array,         # [Ft, 3, H, W]
+    gt_dynamic_masks: jax.Array,  # [Ft, 3, H, W]
+    fovx: jax.Array,              # [Ft]
+    fovy: jax.Array,
+    bg: jax.Array,
+    step: jax.Array,
+    settings: RasterSettings,
+    cfg: OptimizationConfig,
+):
+    """One pass of test-pose-only optimization over ``uids`` as a single
+    lax.scan dispatch (the per-frame host loop costs ~10 ms/dispatch through
+    remote transports)."""
+
+    def body(tp, uid):
+        new_tp, lossv, psnr_v = test_pose_step(
+            tp, params, meta, uid, gt_images[uid], gt_dynamic_masks[uid],
+            fovx[uid], fovy[uid], bg, step, settings, cfg)
+        return new_tp, (lossv, psnr_v)
+
+    return jax.lax.scan(body, tp_state, uids)

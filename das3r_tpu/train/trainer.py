@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import os
 import random
 import time
@@ -32,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from das3r_tpu.data import readers
+from das3r_tpu.models import densify as densify_mod
 from das3r_tpu.models import render as render_mod
 from das3r_tpu.train import checkpoint as ckpt
 from das3r_tpu.train import optim, scene_setup, step as step_mod
@@ -52,9 +54,11 @@ def _to_device_stack(a):
     return jnp.asarray(a, jnp.float32)
 
 
-def _plan_chunks(iterations: int, n_frames: int, seed: int):
+def _plan_chunks(iterations: int, n_frames: int, seed: int,
+                 extra_boundaries=()):
     """Host-side schedule: shuffled-per-epoch uids, split into chunks at
-    epoch AND sh-degree-bump (every 3000 iters) boundaries.
+    epoch AND sh-degree-bump (every 3000 iters) boundaries, plus any
+    ``extra_boundaries`` (densify / opacity-reset events).
     Returns list of (start_iter, uid_array)."""
     rng = random.Random(seed)
     uids: list[int] = []
@@ -67,12 +71,32 @@ def _plan_chunks(iterations: int, n_frames: int, seed: int):
     boundaries = {0, iterations}
     boundaries.update(range(0, iterations, n_frames))        # epoch starts
     boundaries.update(b for b in range(3000, iterations, 3000))
+    boundaries.update(b for b in extra_boundaries if 0 < b < iterations)
     cuts = sorted(boundaries)
     chunks = []
     for a, b in zip(cuts[:-1], cuts[1:]):
         if b > a:
             chunks.append((a, np.asarray(uids[a:b], np.int32)))
     return chunks
+
+
+def _densify_schedule(cfg, densify: bool, white_background: bool):
+    """Iteration numbers at which densify / opacity-reset events fire
+    (reference train_gui.py:612-623 semantics, flag-enabled here)."""
+    dens_iters, reset_iters = set(), set()
+    if not densify:
+        return dens_iters, reset_iters
+    until = min(cfg.densify_until_iter, cfg.iterations)
+    for it in range(cfg.densification_interval,
+                    until, cfg.densification_interval):
+        if it > cfg.densify_from_iter:
+            dens_iters.add(it)
+    for it in range(cfg.opacity_reset_interval, until,
+                    cfg.opacity_reset_interval):
+        reset_iters.add(it)
+    if white_background and cfg.densify_from_iter < until:
+        reset_iters.add(cfg.densify_from_iter)
+    return dens_iters, reset_iters
 
 
 def train_scene(
@@ -88,6 +112,10 @@ def train_scene(
     checkpoint_iterations=(),
     log_every: int = 50,
     seed: int = 0,
+    densify: bool = False,
+    densify_clone: bool = False,
+    densify_split: bool = False,
+    start_checkpoint: str | None = None,
     progress=print,
 ) -> TrainResult:
     train = bundle.train_data
@@ -101,6 +129,15 @@ def train_scene(
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
 
     state = step_mod.init_train_state(bundle.params, bundle.poses)
+    meta = bundle.meta
+    first_iter = 0
+    if start_checkpoint:
+        state, loaded_meta = ckpt.load_train_state(start_checkpoint, state,
+                                                   meta_template=meta)
+        if loaded_meta is not None:
+            meta = loaded_meta
+        first_iter = int(np.asarray(state.step))
+        progress(f"resumed from {start_checkpoint} at iteration {first_iter}")
     tp_state = None
     test_gt = test_fovx = test_fovy = test_masks = None
     if test is not None:
@@ -115,7 +152,10 @@ def train_scene(
         else:
             test_masks = jnp.zeros_like(test_gt)
 
-    chunks = _plan_chunks(cfg.iterations, scene.n_frames, seed)
+    dens_iters, reset_iters = _densify_schedule(cfg, densify,
+                                                white_background)
+    chunks = _plan_chunks(cfg.iterations, scene.n_frames, seed,
+                          extra_boundaries=dens_iters | reset_iters)
     events = sorted(set(testing_iterations) | set(saving_iterations)
                     | set(checkpoint_iterations))
     metric_handles = []          # (iter_range, device metrics) — fetched late
@@ -124,61 +164,98 @@ def train_scene(
     use_chunks = True            # fall back to per-step dispatch if the
                                  # scan program exceeds compiler limits
                                  # (observed on very large scenes)
+    dens_key = jax.random.PRNGKey(seed + 7)
+    densify_jit = jax.jit(densify_mod.densify_and_prune,
+                          static_argnames=("cfg",),
+                          donate_argnames=("params", "meta", "opt_state"))
+    reset_jit = jax.jit(densify_mod.reset_opacity,
+                        donate_argnames=("params", "opt_state"))
     t0 = time.perf_counter()
 
-    def run_chunk(state, uids, settings):
+    def run_chunk(state, meta, uids, settings, track_stats):
         nonlocal use_chunks
         if use_chunks:
             try:
                 return step_mod.train_chunk(
-                    state, bundle.meta, jnp.asarray(uids), gt_images, fovx,
+                    state, meta, jnp.asarray(uids), gt_images, fovx,
                     fovy, bg, settings, cfg,
                     spatial_lr_scale=scene.spatial_lr_scale,
-                    optim_pose=optim_pose)
+                    optim_pose=optim_pose, track_stats=track_stats)
             except Exception as e:  # compile failure on huge scenes
                 use_chunks = False
                 progress(f"train_chunk compile failed ({str(e)[:120]}); "
                          "falling back to per-step dispatch")
         ms = []
         for uid in uids:
-            state, m = step_mod.train_step(
-                state, bundle.meta, jnp.asarray(int(uid)),
+            state, meta, m = step_mod.train_step(
+                state, meta, jnp.asarray(int(uid)),
                 gt_images[int(uid)], fovx[int(uid)], fovy[int(uid)], bg,
                 settings, cfg, spatial_lr_scale=scene.spatial_lr_scale,
-                optim_pose=optim_pose)
+                optim_pose=optim_pose, track_stats=track_stats)
             ms.append(m)
         stacked = step_mod.StepMetrics(
             *[jnp.stack(x) for x in zip(*ms)])
-        return state, stacked
+        return state, meta, stacked
 
     for start, uids in chunks:
+        end = start + len(uids)
+        if end <= first_iter:
+            continue                      # resumed past this chunk
         sh_degree = min(start // 3000, scene.max_sh_degree)
         if settings.sh_degree != sh_degree:
             settings = dataclasses.replace(settings, sh_degree=sh_degree)
 
-        state, metrics = run_chunk(state, uids, settings)
-        end = start + len(uids)
+        track_stats = densify and end <= cfg.densify_until_iter
+        state, meta, metrics = run_chunk(state, meta, uids, settings,
+                                         track_stats)
         metric_handles.append((end, metrics))
         last_loss_handle = metrics.loss
 
-        # test-pose pass at epoch boundaries (train stack just refilled)
+        # densify / opacity-reset events land exactly at chunk boundaries
+        # (the chunk plan cuts there)
+        if end in dens_iters:
+            dcfg = densify_mod.DensifyConfig(
+                grad_threshold=cfg.densify_grad_threshold,
+                min_opacity=0.005,
+                percent_dense=cfg.percent_dense,
+                max_screen_size=(20.0 if end > cfg.opacity_reset_interval
+                                 else 0.0),
+                extent=float(scene.spatial_lr_scale),
+                enable_clone=densify_clone,
+                enable_split=densify_split)
+            # key derived from the iteration (not the split sequence) so a
+            # resumed run draws identical noise at identical events
+            sub = jax.random.fold_in(dens_key, end)
+            params, meta, opt, rep = densify_jit(
+                state.params, meta, state.opt, sub, dcfg)
+            state = state._replace(params=params, opt=opt)
+            if log_every:
+                rep = jax.device_get(rep)
+                progress(f"[ITER {end}] densify: +{int(rep.n_cloned)} clone "
+                         f"+{int(rep.n_split)} split -{int(rep.n_pruned)} "
+                         f"prune (overflow {int(rep.n_overflow)})")
+        if end in reset_iters:
+            params, opt = reset_jit(state.params, state.opt)
+            state = state._replace(params=params, opt=opt)
+
+        # test-pose pass at epoch boundaries (train stack just refilled) —
+        # the whole permutation runs as ONE scan dispatch
         if test is not None and optim_test_pose and end < cfg.iterations:
-            for tuid in np.random.default_rng(seed + end).permutation(
-                    test.n_frames):
-                tp_state, _, _ = step_mod.test_pose_step(
-                    tp_state, state.params, bundle.meta,
-                    jnp.asarray(int(tuid)), test_gt[int(tuid)],
-                    test_masks[int(tuid)], test_fovx[int(tuid)],
-                    test_fovy[int(tuid)], bg, state.step, settings, cfg)
+            tuids = np.random.default_rng(seed + end).permutation(
+                test.n_frames).astype(np.int32)
+            tp_state, _ = step_mod.test_pose_chunk(
+                tp_state, state.params, meta, jnp.asarray(tuids),
+                test_gt, test_masks, test_fovx, test_fovy, bg,
+                state.step, settings, cfg)
 
         # host-sync events (reports/saves) — the only device fetches
         for ev in [e for e in events if start < e <= end]:
             if ev in testing_iterations:
-                _report_train(model_path, ev, state, bundle, settings,
+                _report_train(model_path, ev, state, meta, bundle, settings,
                               gt_images, fovx, fovy, bg, progress)
             if ev in testing_iterations and test is not None:
                 test_psnr_last = _report_test(
-                    model_path, ev, state, tp_state, bundle, settings,
+                    model_path, ev, state, tp_state, meta, bundle, settings,
                     test_gt, test_masks, test_fovx, test_fovy, bg,
                     progress)
             if ev in saving_iterations and model_path:
@@ -186,13 +263,14 @@ def train_scene(
                                       f"iteration_{ev}")
                 ckpt.save_scene_ply(
                     os.path.join(pc_dir, "point_cloud.ply"),
-                    state.params, bundle.meta)
+                    state.params, meta)
                 ckpt.save_pose_npy(
                     os.path.join(model_path, "pose", f"pose_{ev}.npy"),
                     state.poses)
             if ev in checkpoint_iterations and model_path:
                 ckpt.save_train_state(
-                    os.path.join(model_path, f"chkpnt{ev}.npz"), state)
+                    os.path.join(model_path, f"chkpnt{ev}.npz"), state,
+                    meta=meta)
 
         if log_every and (start // log_every != end // log_every
                           or end == cfg.iterations):
@@ -204,72 +282,72 @@ def train_scene(
     dt = time.perf_counter() - t0
     last_loss = (float(np.asarray(last_loss_handle)[-1])
                  if last_loss_handle is not None else float("nan"))
+    n_done = max(cfg.iterations - first_iter, 1)
     return TrainResult(state=state, test_pose_state=tp_state,
                        last_loss=last_loss, test_psnr=test_psnr_last,
-                       iters_per_sec=cfg.iterations / max(dt, 1e-9))
+                       iters_per_sec=n_done / max(dt, 1e-9))
 
 
-def _report_train(model_path, iteration, state, bundle, settings,
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _eval_views(params, meta, pose7s, uids, gt_stack, mask_stack, fovx, fovy,
+                bg, settings):
+    """Masked L1/PSNR over ``uids`` views as ONE scan dispatch. Module-level
+    + jit-cached: the report path no longer re-traces per call."""
+
+    def one(_, uid):
+        out = render_mod.render(params, meta, settings, pose7s[uid], bg,
+                                fovx[uid], fovy[uid], mode="train")
+        img = jnp.clip(out.image, 0.0, 1.0)
+        gt = jnp.clip(gt_stack[uid], 0.0, 1.0)
+        m = 1.0 - mask_stack[uid]
+        p = img * m
+        g = gt * m
+        return (), (jnp.abs(p - g).mean(), psnr_fn(p[None], g[None]).mean())
+
+    _, (l1s, psnrs) = jax.lax.scan(one, (), uids)
+    return l1s.mean(), psnrs.mean()
+
+
+def _append_log(model_path, fname, line, progress):
+    progress(line)
+    if model_path:
+        os.makedirs(model_path, exist_ok=True)
+        with open(os.path.join(model_path, fname), "a") as f:
+            f.write(line + "\n")
+
+
+def _report_train(model_path, iteration, state, meta, bundle, settings,
                   gt_images, fovx, fovy, bg, progress, n_sample: int = 5):
     """L1/PSNR on sampled TRAIN views -> train_log.txt (train_gui
     training_report :666-712 renders 5 sample train cameras)."""
-
-    @jax.jit
-    def eval_one(params, poses, uid):
-        out = render_mod.render(params, bundle.meta, settings,
-                                poses.pose(uid), bg, fovx[uid], fovy[uid],
-                                mode="train")
-        img = jnp.clip(out.image, 0.0, 1.0)
-        gt = jnp.clip(gt_images[uid], 0.0, 1.0)
-        return jnp.abs(img - gt).mean(), psnr_fn(img[None], gt[None]).mean()
-
     n = gt_images.shape[0]
-    uids = np.linspace(0, n - 1, min(n_sample, n)).astype(int)
-    pairs = [eval_one(state.params, state.poses, jnp.asarray(int(u)))
-             for u in uids]
-    l1_t = float(np.asarray(jnp.stack([p[0] for p in pairs])).mean())
-    psnr_t = float(np.asarray(jnp.stack([p[1] for p in pairs])).mean())
-    line = f"[ITER {iteration}] Evaluating train: L1 {l1_t} PSNR {psnr_t}"
-    progress(line)
-    if model_path:
-        os.makedirs(model_path, exist_ok=True)
-        with open(os.path.join(model_path, "train_log.txt"), "a") as f:
-            f.write(line + "\n")
+    uids = jnp.asarray(
+        np.linspace(0, n - 1, min(n_sample, n)).astype(np.int32))
+    l1_t, psnr_t = _eval_views(
+        state.params, meta, state.poses.all_poses(), uids, gt_images,
+        jnp.zeros_like(gt_images), fovx, fovy, bg, settings)
+    l1_t, psnr_t = float(np.asarray(l1_t)), float(np.asarray(psnr_t))
+    _append_log(model_path, "train_log.txt",
+                f"[ITER {iteration}] Evaluating train: L1 {l1_t} "
+                f"PSNR {psnr_t}", progress)
     return psnr_t
 
 
-def _report_test(model_path, iteration, state, tp_state, bundle, settings,
-                 test_gt, test_masks, test_fovx, test_fovy, bg, progress):
+def _report_test(model_path, iteration, state, tp_state, meta, bundle,
+                 settings, test_gt, test_masks, test_fovx, test_fovy, bg,
+                 progress):
     """Masked test-view L1/PSNR over ALL test frames in one jitted call
     (one device->host fetch), appended to test_log.txt in the reference's
     exact format (train_test_psnr.training_report :241-302)."""
-
-    @jax.jit
-    def eval_one(params, poses, uid):
-        pose = poses.pose(uid)
-        out = render_mod.render(params, bundle.meta, settings, pose, bg,
-                                test_fovx[uid], test_fovy[uid], mode="train")
-        img = jnp.clip(out.image, 0.0, 1.0)
-        gt = jnp.clip(test_gt[uid], 0.0, 1.0)
-        m = 1.0 - test_masks[uid]
-        p = img * m
-        g = gt * m
-        return jnp.abs(p - g).mean(), psnr_fn(p[None], g[None]).mean()
-
     n = test_gt.shape[0]
-    l1s, psnrs = [], []
-    for tuid in range(n):
-        l1, ps = eval_one(state.params, tp_state.poses, jnp.asarray(tuid))
-        l1s.append(l1)
-        psnrs.append(ps)
-    l1_t = float(np.asarray(jnp.stack(l1s)).mean())
-    psnr_t = float(np.asarray(jnp.stack(psnrs)).mean())
-    line = f"[ITER {iteration}] Evaluating test: L1 {l1_t} PSNR {psnr_t}"
-    progress(line)
-    if model_path:
-        os.makedirs(model_path, exist_ok=True)
-        with open(os.path.join(model_path, "test_log.txt"), "a") as f:
-            f.write(line + "\n")
+    pose7s = jnp.concatenate([tp_state.poses.Q, tp_state.poses.T], -1)
+    l1_t, psnr_t = _eval_views(
+        state.params, meta, pose7s, jnp.arange(n, dtype=jnp.int32), test_gt,
+        test_masks, test_fovx, test_fovy, bg, settings)
+    l1_t, psnr_t = float(np.asarray(l1_t)), float(np.asarray(psnr_t))
+    _append_log(model_path, "test_log.txt",
+                f"[ITER {iteration}] Evaluating test: L1 {l1_t} "
+                f"PSNR {psnr_t}", progress)
     return psnr_t
 
 
@@ -302,6 +380,15 @@ def main(argv=None):
     ap.add_argument("--checkpoint_iterations", type=int, nargs="*",
                     default=[])
     ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--densify", action="store_true",
+                    help="enable densification/pruning at chunk boundaries "
+                         "(the reference ships with this commented out)")
+    ap.add_argument("--densify_clone", action="store_true",
+                    help="also enable INRIA clone densification")
+    ap.add_argument("--densify_split", action="store_true",
+                    help="also enable INRIA split densification")
+    ap.add_argument("--start_checkpoint", default=None,
+                    help="resume from a chkpnt<N>.npz (train_gui.py:505-507)")
     args = ap.parse_args(argv)
 
     data = readers.load_scene(args.source_path, eval_mode=args.eval,
@@ -330,7 +417,10 @@ def main(argv=None):
         testing_iterations=set(test_iters),
         saving_iterations=set(save_iters),
         checkpoint_iterations=set(args.checkpoint_iterations),
-        log_every=args.log_every)
+        log_every=args.log_every,
+        densify=args.densify, densify_clone=args.densify_clone,
+        densify_split=args.densify_split,
+        start_checkpoint=args.start_checkpoint)
     print(f"done: loss {result.last_loss:.5f} "
           f"iters/s {result.iters_per_sec:.2f} "
           f"test_psnr {result.test_psnr}")

@@ -10,7 +10,11 @@ Prints one line per stage: name  ms/iter.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +30,8 @@ def build():
                                             activated_scaling,
                                             per_gaussian_conf)
     from das3r_tpu.ops.splat import RasterSettings
-    from das3r_tpu.ops.splat import binning, blend, preprocess as prep_mod
-    from das3r_tpu.ops.splat import pallas_blend
+    from das3r_tpu.ops.splat import binning, blend, pallas_blend
+    from das3r_tpu.ops.splat.preprocess import preprocess as preprocess_fn
     from das3r_tpu.train import loss as loss_mod
     from das3r_tpu.utils.quat import pose_to_w2c, quat_mul
 
@@ -65,7 +69,7 @@ def build():
 
     def prep(eps):
         ri = raster_inputs(eps)
-        return prep_mod.preprocess(
+        return preprocess_fn(
             ri["means3d"], ri["opacities"], s,
             viewmatrix=ri["viewmatrix"], projmatrix=ri["projmatrix"],
             campos=ri["campos"], shs=ri["shs"], scales=ri["scales"],
@@ -85,6 +89,14 @@ def build():
     def f_prep_bin(eps):
         p = prep(eps)
         bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s)
+        return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
+
+    import dataclasses as _dc
+    s_fullsort = _dc.replace(settings, max_total_entries=None)
+
+    def f_prep_bin_fullsort(eps):
+        p = prep(eps)
+        bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s_fullsort)
         return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
 
     def f_prep_bin_gather(eps):
@@ -201,9 +213,212 @@ def build():
             jnp.swapaxes(g, 1, 2).reshape(-1, 9))
         return jnp.sum(acc) * 1e-9
 
+    # ---- preprocess sub-stages: einsum/AoS vs hand-expanded SoA
+    from das3r_tpu.ops.splat.preprocess import build_cov3d
+    from das3r_tpu.utils.quat import quat_to_rotmat
+    from das3r_tpu.utils import sh as sh_lib
+    scal = jnp.exp(params.scaling)
+    rots = params.rotation
+    xyz = params.xyz
+    shs_full = jnp.concatenate([params.features_dc, params.features_rest], 1)
+    vm = jnp.eye(4)
+
+    def f_ri(eps):
+        ri = raster_inputs(eps)
+        return (jnp.sum(ri["means3d"]) + jnp.sum(ri["opacities"])
+                + jnp.sum(ri["rotations"]) + jnp.sum(ri["shs"]) * 1e-6)
+
+    def f_cov3d_einsum(eps):
+        c = build_cov3d(scal + eps, rots, 1.0)
+        return jnp.sum(c) * 1e-6
+
+    def f_cov3d_soa(eps):
+        q = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True).clip(1e-12)
+        r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        R00 = 1 - 2 * (y * y + z * z)
+        R01 = 2 * (x * y - r * z)
+        R02 = 2 * (x * z + r * y)
+        R10 = 2 * (x * y + r * z)
+        R11 = 1 - 2 * (x * x + z * z)
+        R12 = 2 * (y * z - r * x)
+        R20 = 2 * (x * z - r * y)
+        R21 = 2 * (y * z + r * x)
+        R22 = 1 - 2 * (x * x + y * y)
+        sc = scal + eps
+        s0, s1, s2 = sc[:, 0], sc[:, 1], sc[:, 2]
+        L00, L01, L02 = R00 * s0, R01 * s1, R02 * s2
+        L10, L11, L12 = R10 * s0, R11 * s1, R12 * s2
+        L20, L21, L22 = R20 * s0, R21 * s1, R22 * s2
+        xx = L00 * L00 + L01 * L01 + L02 * L02
+        xy = L00 * L10 + L01 * L11 + L02 * L12
+        xz = L00 * L20 + L01 * L21 + L02 * L22
+        yy = L10 * L10 + L11 * L11 + L12 * L12
+        yz = L10 * L20 + L11 * L21 + L12 * L22
+        zz = L20 * L20 + L21 * L21 + L22 * L22
+        return (jnp.sum(xx + yy + zz) + jnp.sum(xy + xz + yz)) * 1e-6
+
+    def f_proj_matmul(eps):
+        homo = jnp.concatenate([xyz + eps, jnp.ones((n, 1))], -1)
+        pv = jnp.matmul(homo, vm, precision="highest")
+        return jnp.sum(pv) * 1e-6
+
+    def f_proj_soa(eps):
+        x, y, z = (xyz[:, 0] + eps[0], xyz[:, 1] + eps[1],
+                   xyz[:, 2] + eps[2])
+        outs = [x * vm[0, c] + y * vm[1, c] + z * vm[2, c] + vm[3, c]
+                for c in range(4)]
+        return sum(jnp.sum(o) for o in outs) * 1e-6
+
+    def f_sh_aos(eps):
+        direction = (xyz + eps)
+        direction = direction / jnp.linalg.norm(
+            direction, axis=-1, keepdims=True).clip(1e-12)
+        raw = sh_lib.eval_sh(3, jnp.swapaxes(shs_full, -1, -2), direction)
+        return jnp.sum(raw) * 1e-6
+
+    sh_soa = jnp.asarray(
+        jnp.swapaxes(shs_full, 0, 2).reshape(3 * 16, -1))   # [48, N] rows
+
+    def f_sh_soa(eps):
+        d = xyz + eps
+        inv = jax.lax.rsqrt((d * d).sum(-1).clip(1e-24))
+        x, y, z = d[:, 0] * inv, d[:, 1] * inv, d[:, 2] * inv
+        out = []
+        for c in range(3):
+            sh = lambda k: sh_soa[c * 16 + k]
+            res = 0.28209479177387814 * sh(0)
+            res = (res - 0.4886025119029199 * y * sh(1)
+                   + 0.4886025119029199 * z * sh(2)
+                   - 0.4886025119029199 * x * sh(3))
+            xx, yy, zz = x * x, y * y, z * z
+            res = (res + 1.0925484305920792 * x * y * sh(4)
+                   - 1.0925484305920792 * y * z * sh(5)
+                   + 0.31539156525252005 * (2 * zz - xx - yy) * sh(6)
+                   - 1.0925484305920792 * x * z * sh(7)
+                   + 0.5462742152960396 * (xx - yy) * sh(8))
+            res = (res - 0.5900435899266435 * y * (3 * xx - yy) * sh(9)
+                   + 2.890611442640554 * x * y * z * sh(10)
+                   - 0.4570457994644658 * y * (4 * zz - xx - yy) * sh(11)
+                   + 0.3731763325901154 * z * (2 * zz - 3 * xx - 3 * yy)
+                   * sh(12)
+                   - 0.4570457994644658 * x * (4 * zz - xx - yy) * sh(13)
+                   + 1.445305721320277 * z * (xx - yy) * sh(14)
+                   - 0.5900435899266435 * x * (xx - 3 * yy) * sh(15))
+            out.append(res)
+        return sum(jnp.sum(o) for o in out) * 1e-6
+
+    def f_conf_gather(eps):
+        flat = params.conf_static.reshape(-1) + eps[0]
+        return jnp.sum(flat[meta.pix_id]) * 1e-6
+
+    def f_ri_no_concat(eps):
+        """raster_inputs minus the dc/rest -> [N,16,3] concat."""
+        safe_rot = jnp.where(meta.alive[:, None], params.rotation,
+                             jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+        p = params._replace(rotation=safe_rot, xyz=params.xyz + eps)
+        w2c = pose_to_w2c(pose7)
+        xyz_cam = jnp.matmul(p.xyz, w2c[:3, :3].T,
+                             precision="highest") + w2c[:3, 3]
+        rot_cam = quat_mul(pose7[:4], p.rotation)
+        opacity = (activated_opacity(p)
+                   * per_gaussian_conf(p, meta)[:, None]
+                   * meta.alive[:, None])
+        return (jnp.sum(xyz_cam) + jnp.sum(opacity) + jnp.sum(rot_cam)
+                + jnp.sum(p.features_dc) + jnp.sum(p.features_rest) * 1e-6)
+
+    def f_concat_shs(eps):
+        sh_cat = jnp.concatenate(
+            [params.features_dc + eps[0], params.features_rest], axis=1)
+        return jnp.sum(sh_cat) * 1e-6
+
+    rest_flat = jnp.asarray(params.features_rest.reshape(-1, 45))
+
+    def f_add1_aos(eps):
+        return jnp.sum(params.features_rest * 1.0001 + eps[0]) * 1e-6
+
+    def f_add1_flat(eps):
+        return jnp.sum(rest_flat * 1.0001 + eps[0]) * 1e-6
+
+    # gather/scatter layout A/B: one [N,9]-row gather vs 9 dense gathers
+    attr9 = jax.random.normal(jax.random.PRNGKey(1), (n, 9))
+    attr_cols = [jnp.asarray(attr9[:, i]) for i in range(9)]
+
+    def f_gather_rows9(eps):
+        g = (attr9 + eps[0])[gid0]                     # [T, K, 9]
+        return jnp.sum(jnp.swapaxes(g, 1, 2)) * 1e-6
+
+    def f_gather_9dense(eps):
+        cols = [(c + eps[0])[gid0] for c in attr_cols]  # 9 x [T, K]
+        return jnp.sum(jnp.stack(cols, axis=1)) * 1e-6
+
+    def f_scatter_add_9dense(eps):
+        g = gtile + eps[0]                             # [T, 9, K]
+        flat = gid0.reshape(-1)
+        outs = [jnp.zeros((n,)).at[flat].add(g[:, i, :].reshape(-1))
+                for i in range(9)]
+        return sum(jnp.sum(o) for o in outs) * 1e-9
+
+    def f_scatter_add_segsum(eps):
+        """Sort-based segment-sum alternative: sort slot grads by gid, then
+        cumsum + boundary diff."""
+        g = gtile + eps[0]
+        flat = gid0.reshape(-1)
+        order2 = jnp.argsort(flat)
+        gs = jnp.cumsum(
+            jnp.swapaxes(g, 1, 2).reshape(-1, 9)[order2], axis=0)
+        bounds = jnp.searchsorted(flat[order2],
+                                  jnp.arange(n + 1, dtype=jnp.int32))
+        padded = jnp.concatenate([jnp.zeros((1, 9)), gs], 0)
+        seg = padded[bounds[1:]] - padded[bounds[:-1]]
+        return jnp.sum(seg) * 1e-9
+
     stages = {
         "prep": f_prep,
+        "ri": f_ri,
+        "cov3d_einsum": f_cov3d_einsum,
+        "cov3d_soa": f_cov3d_soa,
+        "proj_matmul": f_proj_matmul,
+        "proj_soa": f_proj_soa,
+        "sh_aos": f_sh_aos,
+        "sh_soa": f_sh_soa,
+        "conf_gather": f_conf_gather,
+        "ri_no_concat": f_ri_no_concat,
+        "ri_saferot": lambda eps: jnp.sum(jnp.where(
+            meta.alive[:, None], params.rotation + eps[0],
+            jnp.asarray([1.0, 0, 0, 0], jnp.float32))) * 1e-6,
+        "ri_saferot_mul": lambda eps: jnp.sum(
+            (params.rotation + eps[0]) * meta.alive[:, None]
+            + jnp.asarray([1.0, 0, 0, 0])
+            * (1.0 - meta.alive[:, None])) * 1e-6,
+        "ri_saferot_scalar": lambda eps: jnp.sum(jnp.where(
+            meta.alive[:, None], params.rotation + eps[0], 0.0)) * 1e-6,
+        "ri_saferot_prebroad": lambda eps: jnp.sum(jnp.where(
+            jnp.broadcast_to(meta.alive[:, None], (n, 4)),
+            params.rotation + eps[0],
+            jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4)))) * 1e-6,
+        "ri_saferot_f32mask": lambda eps: jnp.sum(jnp.where(
+            meta.alive.astype(jnp.float32)[:, None] > 0,
+            params.rotation + eps[0],
+            jnp.asarray([1.0, 0, 0, 0]))) * 1e-6,
+        "ri_quatmul": lambda eps: jnp.sum(quat_mul(
+            pose7[:4], params.rotation + eps[0])) * 1e-6,
+        "ri_opacity": lambda eps: jnp.sum(
+            activated_opacity(params)
+            * (per_gaussian_conf(params, meta)[:, None] + eps[0])
+            * meta.alive[:, None]) * 1e-6,
+        "ri_xyzcam": lambda eps: jnp.sum(jnp.matmul(
+            params.xyz + eps[0],
+            pose_to_w2c(pose7)[:3, :3].T, precision="highest")
+            + pose_to_w2c(pose7)[:3, 3]) * 1e-6,
+        "concat_shs": f_concat_shs,
+        "add1_aos": f_add1_aos,
+        "add1_flat": f_add1_flat,
+        "gather_rows9": f_gather_rows9,
+        "gather_9dense": f_gather_9dense,
+        "scatter_add_9dense": f_scatter_add_9dense,
+        "scatter_add_segsum": f_scatter_add_segsum,
         "prep_bin": f_prep_bin,
+        "prep_bin_fullsort": f_prep_bin_fullsort,
         "prep_bin_gather": f_prep_bin_gather,
         "full_fwd": f_full_fwd,
         "full_fwd_bwd": f_full_fwd_bwd,

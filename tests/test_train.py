@@ -169,7 +169,7 @@ class TestTrainStep:
         losses, psnrs = [], []
         for it in range(60):
             uid = it % f
-            state, m = step_mod.train_step(
+            state, meta, m = step_mod.train_step(
                 state, meta, jnp.asarray(uid), gts[uid], fov, fov, bg,
                 settings, cfg)
             losses.append(float(m.loss))
@@ -190,7 +190,7 @@ class TestTrainStep:
         state = step_mod.init_train_state(params, poses)
         # train_step donates the state — snapshot what we compare first
         q_before = np.asarray(state.poses.Q).copy()
-        state2, m = step_mod.train_step(
+        state2, _, m = step_mod.train_step(
             state, meta, jnp.asarray(0), gt, fov, fov, bg, settings, cfg)
         assert not bool(m.cam_stepped)
         np.testing.assert_array_equal(np.asarray(state2.poses.Q), q_before)
