@@ -66,6 +66,13 @@ def reg_dense_conf_exp(x: jax.Array, vmin: float = 1.0) -> jax.Array:
     return vmin + jnp.exp(x)
 
 
+def transposed_result(res: dict) -> dict:
+    """Swap the two spatial axes of every output map — the reference's
+    ``transposed`` applied to a head result dict (misc.py:59-67), used to
+    store portrait-orientation predictions back into landscape buffers."""
+    return {k: v.swapaxes(1, 2) for k, v in res.items()}
+
+
 class AsymmetricCroCo3D(nn.Module):
     cfg: Dust3rConfig = DUST3R_LARGE_CONFIG
 
@@ -104,8 +111,20 @@ class AsymmetricCroCo3D(nn.Module):
         self.head_mask1 = mk(1, "semseg", "downstream_head_dynamic_mask1")
         self.head_mask2 = mk(1, "semseg", "downstream_head_dynamic_mask2")
 
-    def encode(self, img: jax.Array):
-        """[B, 3, H, W] (ImgNorm'ed) -> (tokens [B, N, D_enc], pos)."""
+    def encode(self, img: jax.Array, portrait: bool = False):
+        """[B, 3, H, W] (ImgNorm'ed) -> (tokens [B, N, D_enc], pos).
+
+        ``portrait`` is the static, jit-friendly form of the reference's
+        ManyAR_PatchEmbed ``true_shape`` handling (patch_embed.py:33-70):
+        a portrait image arrives stored TRANSPOSED inside a landscape
+        [B, 3, H, W] buffer (W >= H); the patch projection and the RoPE
+        position grid must see the true portrait orientation, so the buffer
+        is transposed back before patchifying. Mixed-orientation batches are
+        split by the host (``inference.apply_manyar``) exactly like the
+        reference's boolean-index split — per-batch the flag is static.
+        """
+        if portrait:
+            img = img.swapaxes(-1, -2)
         x, pos = self.patch_embed(img)
         for blk in self.enc_blocks:
             x = blk(x, pos)
@@ -129,13 +148,22 @@ class AsymmetricCroCo3D(nn.Module):
         return out1, out2
 
     def decode(self, f1, pos1, f2, pos2, img_h: int, img_w: int,
-               stop_trunk_grad: bool = True, deterministic: bool = True):
+               stop_trunk_grad: bool = True, deterministic: bool = True,
+               img_h2: int | None = None, img_w2: int | None = None):
         """Pairwise prediction from precomputed encoder tokens.
 
         Returns (res1, res2): res1 = {pts3d, conf, dynamic_mask},
         res2 = {pts3d_in_other_view, conf, dynamic_mask} — both pointmaps in
         view 1's frame (model.py:211-228). Maps are [B, H, W(, 3)].
+
+        ``img_h/img_w`` are view 1's TRUE spatial shape (portrait views pass
+        h > w); ``img_h2/img_w2`` default to view 1's — pass them when the
+        two views have different orientations (the per-view heads are the
+        functional form of the reference's ``transpose_to_landscape``
+        wrappers, misc.py:76-118).
         """
+        if img_h2 is None:
+            img_h2, img_w2 = img_h, img_w
         dec1, dec2 = self._decode(f1, pos1, f2, pos2)
         # heads consume fp32 tokens ([tok.float() for tok in dec],
         # reference model.py:217-222)
@@ -147,10 +175,10 @@ class AsymmetricCroCo3D(nn.Module):
 
         c = self.cfg
         out1 = self.head1(dec1, img_h, img_w).astype(jnp.float32)
-        out2 = self.head2(dec2, img_h, img_w).astype(jnp.float32)
+        out2 = self.head2(dec2, img_h2, img_w2).astype(jnp.float32)
         m1 = self.head_mask1(dec1, img_h, img_w,
                              deterministic=deterministic).astype(jnp.float32)
-        m2 = self.head_mask2(dec2, img_h, img_w,
+        m2 = self.head_mask2(dec2, img_h2, img_w2,
                              deterministic=deterministic).astype(jnp.float32)
 
         res1 = dict(
@@ -164,12 +192,30 @@ class AsymmetricCroCo3D(nn.Module):
         return res1, res2
 
     def __call__(self, img1, img2, stop_trunk_grad: bool = True,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 portrait1: bool = False, portrait2: bool = False,
+                 landscape_out: bool = True):
         """Full two-view forward (the reference ``forward``, for tests and
-        single-pair use; the pipeline uses encode()+decode())."""
+        single-pair use; the pipeline uses encode()+decode()).
+
+        ``portrait1/2``: the view's landscape buffer holds a transposed
+        portrait image (ManyAR). Predictions are computed in the TRUE
+        orientation; with ``landscape_out`` they are transposed back into
+        the landscape buffer layout, matching the reference's
+        transpose_to_landscape head wrappers (misc.py:76-118).
+        """
         B, _, H, W = img1.shape
-        f1, pos1 = self.encode(img1)
-        f2, pos2 = self.encode(img2)
-        return self.decode(f1, pos1, f2, pos2, H, W,
-                           stop_trunk_grad=stop_trunk_grad,
-                           deterministic=deterministic)
+        f1, pos1 = self.encode(img1, portrait=portrait1)
+        f2, pos2 = self.encode(img2, portrait=portrait2)
+        h1, w1 = (W, H) if portrait1 else (H, W)
+        H2, W2 = img2.shape[-2:]
+        h2, w2 = (W2, H2) if portrait2 else (H2, W2)
+        res1, res2 = self.decode(f1, pos1, f2, pos2, h1, w1,
+                                 stop_trunk_grad=stop_trunk_grad,
+                                 deterministic=deterministic,
+                                 img_h2=h2, img_w2=w2)
+        if landscape_out and portrait1:
+            res1 = transposed_result(res1)
+        if landscape_out and portrait2:
+            res2 = transposed_result(res2)
+        return res1, res2

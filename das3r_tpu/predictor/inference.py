@@ -53,17 +53,31 @@ def run_pairs(
     edges: list,
     encode_batch: int = 8,
     decode_batch: int = 8,
+    portrait: bool = False,
 ) -> PairPredictions:
-    """Encode-once + per-pair decode over ``edges``."""
+    """Encode-once + per-pair decode over ``edges``.
+
+    ``portrait``: the frames are portrait images stored transposed in the
+    landscape [F, 3, H, W] stack (ManyAR convention); predictions come back
+    in the landscape buffer layout, like the reference's
+    transpose_to_landscape heads.
+    """
     F, _, H, W = images01.shape
+    th, tw = (W, H) if portrait else (H, W)     # true orientation
     imgs = jnp.asarray(normalize_images(images01), jnp.float32)
 
-    encode = jax.jit(lambda p, im: model.apply({"params": p}, im,
-                                               method="encode"))
-    dec_fn = jax.jit(
-        lambda p, f1, p1, f2, p2: model.apply(
-            {"params": p}, f1, p1, f2, p2, H, W, method="decode"),
-    )
+    encode = jax.jit(lambda p, im: model.apply(
+        {"params": p}, im, portrait=portrait, method="encode"))
+
+    def _dec(p, f1, p1, f2, p2):
+        r1, r2 = model.apply({"params": p}, f1, p1, f2, p2, th, tw,
+                             method="decode")
+        if portrait:
+            from das3r_tpu.models.croco.dust3r import transposed_result
+            r1, r2 = transposed_result(r1), transposed_result(r2)
+        return r1, r2
+
+    dec_fn = jax.jit(_dec)
 
     # ---- encode all frames once, in fixed-size batches
     feats = []
@@ -102,3 +116,38 @@ def run_pairs(
 
     return PairPredictions(**{k: np.concatenate(v, 0)
                               for k, v in out.items()})
+
+
+def apply_manyar(model: AsymmetricCroCo3D, params, img1, img2,
+                 true_shape1: np.ndarray, true_shape2: np.ndarray,
+                 **apply_kw):
+    """Mixed-orientation two-view forward — the jit-friendly equivalent of
+    the reference's ManyAR boolean-index split (patch_embed.py:55-70 +
+    misc.py transpose_to_landscape): the batch is grouped on the host by the
+    (portrait1, portrait2) combination, each group runs the static-flag
+    forward, and results merge back in input order. Maps come back in the
+    landscape buffer layout.
+
+    img1/img2: [B, 3, H, W] landscape buffers; true_shapeX: [B, 2] (h, w).
+    """
+    B = img1.shape[0]
+    p1 = np.asarray(true_shape1)[:, 0] > np.asarray(true_shape1)[:, 1]
+    p2 = np.asarray(true_shape2)[:, 0] > np.asarray(true_shape2)[:, 1]
+    res1_parts: list = [None] * B
+    res2_parts: list = [None] * B
+    for a in (False, True):
+        for b in (False, True):
+            idx = np.nonzero((p1 == a) & (p2 == b))[0]
+            if idx.size == 0:
+                continue
+            r1, r2 = model.apply(
+                {"params": params}, img1[idx], img2[idx],
+                portrait1=bool(a), portrait2=bool(b), **apply_kw)
+            for k, gi in enumerate(idx):
+                res1_parts[gi] = {kk: vv[k] for kk, vv in r1.items()}
+                res2_parts[gi] = {kk: vv[k] for kk, vv in r2.items()}
+    res1 = {k: jnp.stack([d[k] for d in res1_parts])
+            for k in res1_parts[0]}
+    res2 = {k: jnp.stack([d[k] for d in res2_parts])
+            for k in res2_parts[0]}
+    return res1, res2
