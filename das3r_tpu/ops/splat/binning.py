@@ -101,7 +101,9 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
         packed = (tile.astype(jnp.uint32) << nbits) | rank
         sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
 
-    if packable and s.max_total_entries is not None:
+    use_compact = (s.max_total_entries is not None
+                   and n * d_cap > s.full_sort_below)
+    if packable and use_compact:
         # Compact the (mostly padding) N*D table into a dense buffer before
         # sorting: typical scenes fill only ~10-20% of the table, and the
         # bitonic sort is the binning bottleneck. Entries beyond the cap

@@ -33,6 +33,13 @@ class RasterSettings:
     # sorting (entries of the FARTHEST Gaussians beyond the cap are
     # dropped, reported via TileBins.entry_overflow). None = exact.
     max_total_entries: int | None = None
+    # Below this table size (N * max_tiles_per_gaussian), binning sorts the
+    # FULL padded table and skips compaction even when max_total_entries is
+    # set: XLA's uint32 sort is cheap at these sizes while the compaction
+    # scatter is a serial loop on TPU (~11 ms at a 3.2M table — measured
+    # end-to-end, docs/PERF.md). Also exact: no entry drops. Set to 0 to
+    # force compaction whenever max_total_entries is set.
+    full_sort_below: int = 8_000_000
     # When > 0, pack a depth quantized to this many bits into the sort key
     # (tile << bits | depth_q) instead of exact depth ranks — removes the
     # global N-element depth argsort from binning. Gaussians closer than

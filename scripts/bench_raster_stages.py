@@ -49,8 +49,11 @@ def build():
 
     # ---- raster-input glue (mirrors models/render.py mode='train')
     def raster_inputs(eps):
-        safe_rot = jnp.where(meta.alive[:, None], params.rotation,
-                             jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+        safe_rot = jnp.where(
+            jnp.broadcast_to(meta.alive[:, None], params.rotation.shape),
+            params.rotation,
+            jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                             params.rotation.shape))
         p = params._replace(rotation=safe_rot,
                             xyz=params.xyz + eps)
         w2c = pose_to_w2c(pose7)
@@ -93,10 +96,16 @@ def build():
 
     import dataclasses as _dc
     s_fullsort = _dc.replace(settings, max_total_entries=None)
+    s_compact = _dc.replace(settings, full_sort_below=0)
 
     def f_prep_bin_fullsort(eps):
         p = prep(eps)
         bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s_fullsort)
+        return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
+
+    def f_prep_bin_compact(eps):
+        p = prep(eps)
+        bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s_compact)
         return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
 
     def f_prep_bin_gather(eps):
@@ -127,6 +136,17 @@ def build():
 
     def f_full_fwd_bwd(eps):
         g = jax.grad(loss_at)(eps)
+        return jnp.sum(g) * 1e-6
+
+    def loss_at_fullsort(eps):
+        out = render_mod.render(params._replace(xyz=params.xyz + eps),
+                                meta, s_fullsort, pose7, bg, fov, fov,
+                                mode="train")
+        return loss_mod.photometric_loss(out.image, gt,
+                                         params.conf_static[0]).loss
+
+    def f_full_fwd_bwd_fullsort(eps):
+        g = jax.grad(loss_at_fullsort)(eps)
         return jnp.sum(g) * 1e-6
 
     # ---- micro stages (isolated ops on realistic data)
@@ -358,6 +378,26 @@ def build():
                 for i in range(9)]
         return sum(jnp.sum(o) for o in outs) * 1e-9
 
+    # ---- SoA [9, N] layout experiments: lane-gather with indices shared
+    # across the 9 sublane rows (output [9, T*K] minor unpadded) vs the
+    # row-gather into [T, K, 9] (minor 9 -> 128 lane padding).
+    attr9N = jnp.swapaxes(attr9, 0, 1)                    # [9, N]
+    flat_gid = gid0.reshape(-1)                           # [T*K]
+    gtile9flat = jnp.swapaxes(gtile, 0, 1).reshape(9, -1)  # [9, T*K]
+
+    def f_gather_lanes9N(eps):
+        out = (attr9N + eps[0])[:, flat_gid]             # [9, T*K]
+        return jnp.sum(out) * 1e-6
+
+    def f_scatter_add_lanes9N(eps):
+        g = gtile9flat + eps[0]                          # [9, T*K]
+        acc = jnp.zeros((9, n)).at[:, flat_gid].add(g)
+        return jnp.sum(acc) * 1e-9
+
+    def f_gather_take9N(eps):
+        out = jnp.take((attr9N + eps[0]), flat_gid, axis=1)
+        return jnp.sum(out) * 1e-6
+
     def f_scatter_add_segsum(eps):
         """Sort-based segment-sum alternative: sort slot grads by gid, then
         cumsum + boundary diff."""
@@ -372,8 +412,52 @@ def build():
         seg = padded[bounds[1:]] - padded[bounds[:-1]]
         return jnp.sum(seg) * 1e-9
 
+    # ---- preprocess bisect: constant inputs (no raster_inputs glue), and
+    # partial reductions so XLA DCEs everything not needed for the reduce.
+    ri0 = jax.jit(raster_inputs)(jnp.zeros(3))
+    ri0 = {k: jnp.asarray(jax.device_get(v)) for k, v in ri0.items()}
+
+    def prep_const(eps):
+        return preprocess_fn(
+            ri0["means3d"] + eps, ri0["opacities"], s,
+            viewmatrix=ri0["viewmatrix"], projmatrix=ri0["projmatrix"],
+            campos=ri0["campos"], shs=ri0["shs"], scales=ri0["scales"],
+            rotations=ri0["rotations"], tan_fovx=ri0["tan_fovx"],
+            tan_fovy=ri0["tan_fovy"])
+
+    def f_prepc_all(eps):
+        return reduce_prep(prep_const(eps))
+
+    def f_prepc_mean2d(eps):
+        p = prep_const(eps)
+        return jnp.sum(p.mean2d) + jnp.sum(p.depth)
+
+    def f_prepc_conic(eps):
+        p = prep_const(eps)
+        return jnp.sum(p.conic)
+
+    def f_prepc_color(eps):
+        p = prep_const(eps)
+        return jnp.sum(p.color)
+
+    def f_prepc_rect(eps):
+        p = prep_const(eps)
+        return (jnp.sum(p.rect_min) + jnp.sum(p.rect_max)
+                + jnp.sum(p.n_tiles_touched) + jnp.sum(p.radius)
+                ).astype(jnp.float32)
+
+    def f_prepc_binnable(eps):
+        p = prep_const(eps)
+        return jnp.sum(p.binnable).astype(jnp.float32) + jnp.sum(eps)
+
     stages = {
         "prep": f_prep,
+        "prepc_all": f_prepc_all,
+        "prepc_mean2d": f_prepc_mean2d,
+        "prepc_conic": f_prepc_conic,
+        "prepc_color": f_prepc_color,
+        "prepc_rect": f_prepc_rect,
+        "prepc_binnable": f_prepc_binnable,
         "ri": f_ri,
         "cov3d_einsum": f_cov3d_einsum,
         "cov3d_soa": f_cov3d_soa,
@@ -419,9 +503,14 @@ def build():
         "scatter_add_segsum": f_scatter_add_segsum,
         "prep_bin": f_prep_bin,
         "prep_bin_fullsort": f_prep_bin_fullsort,
+        "prep_bin_compact": f_prep_bin_compact,
         "prep_bin_gather": f_prep_bin_gather,
         "full_fwd": f_full_fwd,
         "full_fwd_bwd": f_full_fwd_bwd,
+        "full_fwd_bwd_fullsort": f_full_fwd_bwd_fullsort,
+        "gather_lanes9N": f_gather_lanes9N,
+        "scatter_add_lanes9N": f_scatter_add_lanes9N,
+        "gather_take9N": f_gather_take9N,
         "argsort100k": f_argsort,
         "table": f_table,
         "table_scatter": f_table_scatter,
@@ -443,11 +532,15 @@ def time_stage(fn, iters):
 
     c = jnp.asarray(1.0)
     jax.block_until_ready(chain(c))          # compile+warm
-    t0 = time.perf_counter()
-    out = chain(c + 1e-6)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return dt / iters * 1e3
+    best = float("inf")
+    # the relay's FIRST timed window in a process (and sporadic later ones)
+    # carries a ~15 ms artifact — time several windows, keep the fastest
+    for k in range(3):
+        t0 = time.perf_counter()
+        out = chain(c + 1e-6 * (k + 1))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
 
 
 def main():

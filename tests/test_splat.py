@@ -298,7 +298,8 @@ class TestBinningCompaction:
         base = RasterSettings(image_height=64, image_width=64,
                               sh_degree=0, max_per_tile=256,
                               max_tiles_per_gaussian=32)
-        compact = dataclasses.replace(base, max_total_entries=300 * 32)
+        compact = dataclasses.replace(base, max_total_entries=300 * 32,
+                                      full_sort_below=0)
         means, scales, rots, ops, colors = make_scene(300, rng)
         img_exact, _, _, _, _ = run_both(base, means, scales, rots, ops,
                                          colors)
@@ -314,7 +315,7 @@ class TestBinningCompaction:
         settings = dataclasses.replace(
             RasterSettings(image_height=32, image_width=32, sh_degree=0,
                            max_per_tile=64, max_tiles_per_gaussian=16),
-            max_total_entries=8)
+            max_total_entries=8, full_sort_below=0)
         means, scales, rots, ops, colors = make_scene(50, rng)
         view, proj, campos, tfx, tfy = make_camera(settings)
         p = prep_fn(jnp.asarray(means), jnp.asarray(ops), settings,
