@@ -65,6 +65,9 @@ def render(
                                              # cotangent is the densification
                                              # screen-space gradient signal
     tile_axis: str | None = None,  # mesh axis to shard image tiles over
+    gauss_axis: str | None = None,  # mesh axis the Gaussian axis is sharded
+                                    # over (params/preprocess shard-local,
+                                    # prep outputs all-gathered)
 ) -> RenderOutput:
     """One differentiable render of the scene from ``camera_pose``.
 
@@ -123,6 +126,6 @@ def render(
         tan_fovx=tfx, tan_fovy=tfy,
         shs=shs, colors_precomp=colors_precomp,
         scales=activated_scaling(params), rotations=rot_cam,
-        mean2d_offset=offset, tile_axis=tile_axis)
+        mean2d_offset=offset, tile_axis=tile_axis, gauss_axis=gauss_axis)
     return RenderOutput(image=img, radii=radii,
                         mean2d_grad_capture=offset, aux=aux)

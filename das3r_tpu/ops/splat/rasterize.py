@@ -58,9 +58,17 @@ def rasterize(
     chunk: int = 32,
     tile_batch: int = 256,
     tile_axis: str | None = None,
+    gauss_axis: str | None = None,
     backend: str = "auto",   # auto | xla | pallas
 ):
-    """Render N Gaussians -> ([3, H, W] image, [N] int32 radii, RasterAux)."""
+    """Render N Gaussians -> ([3, H, W] image, [N] int32 radii, RasterAux).
+
+    ``gauss_axis``: mesh axis the primitive (N) axis of the inputs is
+    sharded over. Preprocessing then runs shard-local and the small
+    per-Gaussian screen-space outputs are all-gathered here (binning's sort
+    is global); the transpose reduce-scatters per-Gaussian gradients back
+    to the shards where the params/Adam state live (SURVEY.md §2.8).
+    """
     p = prep_mod.preprocess(
         means3d, opacities, settings,
         viewmatrix=viewmatrix, projmatrix=projmatrix, campos=campos,
@@ -68,6 +76,14 @@ def rasterize(
         scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
         mean2d_offset=mean2d_offset,
         tan_fovx=tan_fovx, tan_fovy=tan_fovy)
+
+    if gauss_axis is not None:
+        from jax.sharding import PartitionSpec as P_
+        # replicate over the gauss axis (XLA inserts the all-gather; its
+        # transpose is the per-Gaussian grad reduce-scatter)
+        p = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, P_(*([None] * x.ndim))), p)
 
     bins = jax.tree.map(
         jax.lax.stop_gradient,

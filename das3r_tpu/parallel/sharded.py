@@ -35,29 +35,67 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def _gauss_params_spec(mesh: Mesh, axis: str):
+    """GaussianParams sharding: every per-Gaussian [Nc, ...] leaf split on
+    the primitive axis; the per-pixel conf field replicated."""
+    g = NamedSharding(mesh, P(axis))
+    r = replicated(mesh)
+    from das3r_tpu.models.gaussians import GaussianParams
+    return GaussianParams(xyz=g, features_dc=g, features_rest=g,
+                          scaling=g, rotation=g, opacity=g, conf_static=r)
+
+
+def gauss_state_spec(mesh: Mesh, axis: str = "gauss"):
+    """Sharding prefix-tree for TrainState with Gaussian params + their Adam
+    moments split along mesh axis ``axis`` (SURVEY.md §2.8 / BASELINE
+    config[4]: the param+optimizer memory — ~3x the param size — is what
+    bounds single-chip Gaussian capacity, so it is what gets sharded)."""
+    pspec = _gauss_params_spec(mesh, axis)
+    r = replicated(mesh)
+    opt = optim.AdamState(count=r, mu=pspec, nu=pspec)
+    return step_mod.TrainState(params=pspec, poses=r, opt=opt,
+                               opt_cam=r, step=r)
+
+
+def gauss_meta_spec(mesh: Mesh, axis: str = "gauss"):
+    g = NamedSharding(mesh, P(axis))
+    return GaussianMeta(alive=g, pix_id=g, max_radii2d=g,
+                        xyz_grad_accum=g, denom=g)
+
+
 def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
                             cfg: OptimizationConfig,
-                            spatial_lr_scale: float = 1.0):
+                            spatial_lr_scale: float = 1.0,
+                            gauss_axis: str | None = None):
     """Returns a jitted step(state, meta, uids[B], gts[B,3,H,W], fovx[B],
-    fovy[B], bg) -> (state, metrics) with inputs sharded over ``data`` and
-    each frame's tiles sharded over ``tile``."""
+    fovy[B], bg) -> (state, metrics) with inputs sharded over ``data``,
+    each frame's tiles sharded over ``tile``, and — when ``gauss_axis`` is
+    given — Gaussian params/Adam state/preprocess sharded over that axis
+    (capacity must be divisible by the axis size; ``init_from_frames``
+    rounds capacity to 4096)."""
 
     def per_frame_loss(params, poses, meta, uid, gt, fx, fy, bg):
         pose = poses.pose(uid)
         out = render_mod.render(params, meta, settings, pose, bg, fx, fy,
-                                mode="train", tile_axis="tile")
+                                mode="train", tile_axis="tile",
+                                gauss_axis=gauss_axis)
         static = params.conf_static[uid]
         ph = loss_mod.photometric_loss(out.image, gt, static,
                                        cfg.lambda_dssim)
         return ph.loss, ph.psnr_frame
 
+    state_spec = (gauss_state_spec(mesh, gauss_axis) if gauss_axis
+                  else replicated(mesh))
+    meta_spec = (gauss_meta_spec(mesh, gauss_axis) if gauss_axis
+                 else replicated(mesh))
+
     @functools.partial(
         jax.jit,
-        in_shardings=(replicated(mesh), replicated(mesh),
+        in_shardings=(state_spec, meta_spec,
                       batch_sharding(mesh), batch_sharding(mesh),
                       batch_sharding(mesh), batch_sharding(mesh),
                       replicated(mesh)),
-        out_shardings=(replicated(mesh), replicated(mesh)))
+        out_shardings=(state_spec, replicated(mesh)))
     def step(state: step_mod.TrainState, meta: GaussianMeta, uids, gts,
              fovx, fovy, bg):
         gstep = state.step + 1

@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU mesh")
+    ap.add_argument("--mode", choices=("render", "train"), default="render",
+                    help="render: tile-sharded forward; train: full "
+                    "fwd+bwd+Adam step with the Gaussian axis sharded "
+                    "over all devices (BASELINE config[4] axis)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -55,23 +59,46 @@ def main(argv=None):
     results = {}
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
     for nd in sizes:
-        mesh = make_mesh(data=1, tile=nd, devices=jax.devices()[:nd])
-        with jax.sharding.set_mesh(mesh):
-            render_fn = sharded.make_sharded_render(mesh, settings)
-            pose = poses.pose(0)
-            img = render_fn(params, meta, pose, bg, fov, fov)
-            jax.block_until_ready(img)
-            t0 = time.perf_counter()
-            p = pose
-            for _ in range(args.iters):
-                img = render_fn(params, meta, p, bg, fov, fov)
-                p = pose + 1e-12 * img.sum()
-            jax.block_until_ready(p)
-            dt = time.perf_counter() - t0
+        if args.mode == "train":
+            from das3r_tpu.train import step as step_mod
+            from das3r_tpu.train.config import OptimizationConfig
+            mesh = make_mesh(data=1, gauss=nd, tile=1,
+                             devices=jax.devices()[:nd])
+            cfg = OptimizationConfig(psnr_threshold=5.0)
+            state = step_mod.init_train_state(params, poses)
+            uids = jnp.zeros((1,), jnp.int32)
+            fovs = jnp.ones(1)
+            gts = jnp.zeros((1, 3, args.height, args.width))
+            with jax.sharding.set_mesh(mesh):
+                step = sharded.make_sharded_train_step(
+                    mesh, settings, cfg,
+                    gauss_axis="gauss" if nd > 1 else None)
+                st, m = step(state, meta, uids, gts, fovs, fovs, bg)
+                jax.block_until_ready(st.params.xyz)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    st, m = step(st, meta, uids, gts, fovs, fovs, bg)
+                jax.block_until_ready(st.params.xyz)
+                dt = time.perf_counter() - t0
+        else:
+            mesh = make_mesh(data=1, tile=nd, devices=jax.devices()[:nd])
+            with jax.sharding.set_mesh(mesh):
+                render_fn = sharded.make_sharded_render(mesh, settings)
+                pose = poses.pose(0)
+                img = render_fn(params, meta, pose, bg, fov, fov)
+                jax.block_until_ready(img)
+                t0 = time.perf_counter()
+                p = pose
+                for _ in range(args.iters):
+                    img = render_fn(params, meta, p, bg, fov, fov)
+                    p = pose + 1e-12 * img.sum()
+                jax.block_until_ready(p)
+                dt = time.perf_counter() - t0
         rps = rays * args.iters / dt
         results[nd] = rps
-        print(json.dumps({"devices": nd, "rays_per_s": round(rps),
-                          "ms_per_render": round(dt / args.iters * 1000, 2)}))
+        print(json.dumps({"devices": nd, "mode": args.mode,
+                          "rays_per_s": round(rps),
+                          "ms_per_iter": round(dt / args.iters * 1000, 2)}))
 
     base = results[sizes[0]]
     eff = {nd: results[nd] / (base * nd / sizes[0]) for nd in sizes}

@@ -18,9 +18,14 @@ def scene():
 
 def test_mesh_construction():
     m = make_mesh(data=2, tile=4)
-    assert m.shape == {"data": 2, "tile": 4}
+    assert dict(m.shape) == {"data": 2, "gauss": 1, "tile": 4}
     m2 = make_mesh()
-    assert m2.shape["data"] * m2.shape["tile"] == len(jax.devices())
+    assert (m2.shape["data"] * m2.shape["gauss"] * m2.shape["tile"]
+            == len(jax.devices()))
+    m3 = make_mesh(data=2, gauss=2, tile=2)
+    assert dict(m3.shape) == {"data": 2, "gauss": 2, "tile": 2}
+    m4 = make_mesh(gauss=4, tile=2)
+    assert dict(m4.shape) == {"data": 1, "gauss": 4, "tile": 2}
 
 
 def test_sharded_render_matches_single_device(scene):
@@ -78,3 +83,47 @@ def test_sharded_train_step_runs_and_matches_grads(scene):
                                atol=5e-6)
     np.testing.assert_allclose(np.asarray(state1.poses.Q),
                                np.asarray(state2.poses.Q), atol=5e-6)
+
+
+def test_gauss_sharded_step_matches_unsharded(scene):
+    """Gaussian-axis sharding (params + Adam moments split over ``gauss``,
+    prep outputs all-gathered, per-Gaussian grads reduce-scattered) must
+    reproduce the unsharded step numerically."""
+    params, meta, poses, settings = scene
+    bg = jnp.zeros(3)
+    f = 2
+    fovs = jnp.ones(f)
+    uids = jnp.arange(f)
+    gts = jnp.stack([
+        render_mod.render(params, meta, settings, poses.pose(u), bg,
+                          fovs[u], fovs[u], mode="train").image
+        for u in range(f)])
+    rng = np.random.default_rng(1)
+    params0 = params._replace(
+        xyz=params.xyz + jnp.asarray(
+            rng.normal(0, 0.01, params.xyz.shape), jnp.float32))
+    cfg = OptimizationConfig(psnr_threshold=5.0)
+    state0 = step_mod.init_train_state(params0, poses)
+
+    mesh = make_mesh(data=2, gauss=2, tile=2)
+    with jax.sharding.set_mesh(mesh):
+        step = sharded.make_sharded_train_step(mesh, settings, cfg,
+                                               gauss_axis="gauss")
+        state1, m1 = step(state0, meta, uids, gts, fovs, fovs, bg)
+        state1.params.xyz.block_until_ready()
+        # param/opt leaves actually live sharded over gauss
+        shard_spec = state1.params.xyz.sharding.spec
+        assert shard_spec[0] == "gauss", shard_spec
+
+    mesh1 = make_mesh(data=1, tile=1, devices=jax.devices()[:1])
+    with jax.sharding.set_mesh(mesh1):
+        step_ref = sharded.make_sharded_train_step(mesh1, settings, cfg)
+        state2, m2 = step_ref(state0, meta, uids, gts, fovs, fovs, bg)
+
+    assert np.isfinite(float(m1.loss))
+    assert float(m1.loss) == pytest.approx(float(m2.loss), rel=1e-5)
+    for a, b in ((state1.params.xyz, state2.params.xyz),
+                 (state1.params.features_dc, state2.params.features_dc),
+                 (state1.params.opacity, state2.params.opacity),
+                 (state1.poses.Q, state2.poses.Q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
