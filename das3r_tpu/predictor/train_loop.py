@@ -27,17 +27,24 @@ class Stage1LoopConfig:
     batch_size: int = 8
     eval_freq: int = 1          # epochs between test passes
     save_freq: int = 1          # epochs between checkpoint-last saves
+    pose_eval_freq: int = 0     # epochs between in-train pose evals
+                                # (reference training.py:311-331); 0 = off
+    keep_freq: int = 0          # epochs between numbered keep-checkpoints
+    save_best_pose: bool = False  # save checkpoint-best_pose.npz on new
+                                  # best mean ATE (training.py:352-353)
     out_dir: str = "stage1_ckpt"
     seed: int = 777
 
 
-def _save_ckpt(path, train_params, opt_state, epoch, best):
+def _save_ckpt(path, train_params, opt_state, epoch, best,
+               best_pose_ate=float("inf")):
     flat, _ = jax.tree_util.tree_flatten_with_path(
         {"params": train_params, "mu": opt_state.mu, "nu": opt_state.nu})
     data = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
     data["__count"] = np.asarray(opt_state.count)
     data["__epoch"] = np.asarray(epoch)
     data["__best"] = np.asarray(best)
+    data["__best_pose"] = np.asarray(best_pose_ate)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(path, **data)
 
@@ -54,11 +61,16 @@ def _load_ckpt(path, train_params, opt_state):
         count=jnp.asarray(data["__count"]),
         mu=restore(opt_state.mu, "mu"),
         nu=restore(opt_state.nu, "nu"))
-    return params, opt, int(data["__epoch"]), float(data["__best"])
+    best_pose = (float(data["__best_pose"]) if "__best_pose" in data
+                 else float("inf"))
+    return (params, opt, int(data["__epoch"]), float(data["__best"]),
+            best_pose)
 
 
-def evaluate(model, params, dataset, batch_size, max_batches=None):
-    """Mean total loss over a dataset (test_one_epoch, training.py:497-556)."""
+def evaluate_stats(model, params, dataset, batch_size, max_batches=None):
+    """Per-dataset test stats (test_one_epoch, training.py:497-556):
+    ``loss`` = mean over batches, ``loss_med`` = median — the reference
+    selects the best checkpoint on the MEDIAN (training.py:307-308)."""
     apply = jax.jit(lambda p, i1, i2: model.apply(
         {"params": p}, i1, i2, stop_trunk_grad=True, deterministic=True))
     from das3r_tpu.predictor.losses import conf_regr3d_mmask_loss
@@ -71,23 +83,42 @@ def evaluate(model, params, dataset, batch_size, max_batches=None):
         out = conf_regr3d_mmask_loss(batch, res1, res2)
         losses.append(out.total)
     if not losses:
-        return float("nan")
-    return float(np.asarray(jnp.stack(losses)).mean())
+        return {"loss": float("nan"), "loss_med": float("nan")}
+    arr = np.asarray(jnp.stack(losses))
+    return {"loss": float(arr.mean()), "loss_med": float(np.median(arr))}
+
+
+def evaluate(model, params, dataset, batch_size, max_batches=None):
+    """Mean total loss over a dataset (back-compat wrapper)."""
+    return evaluate_stats(model, params, dataset, batch_size,
+                          max_batches)["loss"]
 
 
 def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
         test_datasets: dict, train_cfg: training.Stage1TrainConfig,
-        loop_cfg: Stage1LoopConfig, mesh=None, progress=print):
-    """Train the mask heads. Returns (full params dict, history)."""
+        loop_cfg: Stage1LoopConfig, mesh=None, progress=print,
+        pose_eval_fn=None):
+    """Train the mask heads. Returns (full params dict, history).
+
+    ``pose_eval_fn(full_params, epoch) -> dict`` is the in-train pose
+    evaluation hook (reference training.py:311-331 runs
+    ``eval_pose_estimation`` every ``pose_eval_freq`` epochs): it must
+    return at least ``{"mean_ate": float | None}`` — ``None`` marks a
+    failed eval (the reference's ``bug`` flag) and never updates the best.
+    Wire ``das3r_tpu.eval.pose_eval.eval_pose_estimation`` here when real
+    dataset roots are available.
+    """
     train_p, frozen_p = training.split_params(params)
     opt = training.adamw_init(train_p)
     step_fn = training.make_train_step(model, train_cfg, mesh=mesh)
 
     start_epoch = 0
     best = float("inf")
+    best_pose_ate = float("inf")
     last_path = os.path.join(loop_cfg.out_dir, "checkpoint-last.npz")
     if os.path.exists(last_path):   # auto-resume (training.py:189-192)
-        train_p, opt, start_epoch, best = _load_ckpt(last_path, train_p, opt)
+        train_p, opt, start_epoch, best, best_pose_ate = _load_ckpt(
+            last_path, train_p, opt)
         progress(f"resumed from {last_path} at epoch {start_epoch}")
 
     os.makedirs(loop_cfg.out_dir, exist_ok=True)
@@ -115,21 +146,47 @@ def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
                      jnp.asarray(float(global_step)), train_cfg)),
                  "time_s": round(time.perf_counter() - t0, 2)}
 
-        if test_datasets and (epoch + 1) % loop_cfg.eval_freq == 0:
+        ep1 = epoch + 1
+        if test_datasets and ep1 % loop_cfg.eval_freq == 0:
             merged = training.merge_params(train_p, frozen_p)
+            new_best = False
             for name, ds in test_datasets.items():
-                entry[f"test_{name}_loss"] = evaluate(
+                stats = evaluate_stats(
                     model, merged, ds, loop_cfg.batch_size, max_batches=8)
-            test_key = next(iter(test_datasets))
-            tl = entry[f"test_{test_key}_loss"]
-            if tl < best:   # best-checkpoint on test loss (training.py:305+)
-                best = tl
+                entry[f"test_{name}_loss"] = stats["loss"]
+                entry[f"test_{name}_loss_med"] = stats["loss_med"]
+                # best over ALL test sets, on the MEDIAN loss
+                # (training.py:307-308)
+                if stats["loss_med"] < best:
+                    best = stats["loss_med"]
+                    new_best = True
+            if new_best:
                 _save_ckpt(os.path.join(loop_cfg.out_dir,
                                         "checkpoint-best.npz"),
-                           train_p, opt, epoch + 1, best)
+                           train_p, opt, ep1, best, best_pose_ate)
 
-        if (epoch + 1) % loop_cfg.save_freq == 0:
-            _save_ckpt(last_path, train_p, opt, epoch + 1, best)
+        if (pose_eval_fn is not None and loop_cfg.pose_eval_freq > 0
+                and ep1 % loop_cfg.pose_eval_freq == 0):
+            # in-train pose eval (training.py:311-331)
+            merged = training.merge_params(train_p, frozen_p)
+            pose_stats = pose_eval_fn(merged, ep1)
+            ate = pose_stats.get("mean_ate")
+            entry.update({f"pose_{k}": v for k, v in pose_stats.items()})
+            if ate is not None and ate < best_pose_ate:
+                best_pose_ate = ate
+                if loop_cfg.save_best_pose:
+                    _save_ckpt(os.path.join(loop_cfg.out_dir,
+                                            "checkpoint-best_pose.npz"),
+                               train_p, opt, ep1, best, best_pose_ate)
+
+        if loop_cfg.keep_freq and ep1 % loop_cfg.keep_freq == 0:
+            # numbered keep-checkpoints (training.py:346-348)
+            _save_ckpt(os.path.join(loop_cfg.out_dir,
+                                    f"checkpoint-{ep1}.npz"),
+                       train_p, opt, ep1, best, best_pose_ate)
+
+        if ep1 % loop_cfg.save_freq == 0:
+            _save_ckpt(last_path, train_p, opt, ep1, best, best_pose_ate)
 
         with open(log_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
@@ -137,5 +194,5 @@ def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
         history.append(entry)
 
     _save_ckpt(os.path.join(loop_cfg.out_dir, "checkpoint-final.npz"),
-               train_p, opt, loop_cfg.epochs, best)
+               train_p, opt, loop_cfg.epochs, best, best_pose_ate)
     return training.merge_params(train_p, frozen_p), history

@@ -109,3 +109,45 @@ class TestFitLoop:
         assert len(hist2) == 1
         assert json.loads(open(str(tmp_path / "ck" / "log.txt"))
                           .read().splitlines()[-1])["epoch"] == 2
+
+    def test_pose_eval_hook_and_keep_ckpts(self, tmp_path):
+        """In-train pose eval (training.py:311-331): fires every
+        pose_eval_freq epochs, tracks best mean ATE, saves best_pose and
+        numbered keep checkpoints; a None ATE (the reference 'bug' flag)
+        never updates the best."""
+        model = AsymmetricCroCo3D(TINY)
+        rng = np.random.default_rng(2)
+        params = jax.tree.map(jnp.asarray, convert_torch_state_dict(
+            random_torch_state_dict(TINY, rng), TINY))
+        train_ds = ds_mod.SyntheticTwoViewDataset(n=4, resolution=(48, 32))
+        test_ds = ds_mod.SyntheticTwoViewDataset(n=2, resolution=(48, 32),
+                                                 seed=9)
+        tcfg = training.Stage1TrainConfig(lr=1e-3, warmup_epochs=0.0,
+                                          steps_per_epoch=2, epochs=4)
+        calls = []
+        ates = {1: 0.5, 2: 0.2, 3: None, 4: 0.4}  # 3 fails, 4 not better
+
+        def pose_eval_fn(full_params, epoch):
+            calls.append(epoch)
+            assert "params" not in full_params or True
+            return {"mean_ate": ates[epoch], "n_ok": 1}
+
+        lcfg = train_loop.Stage1LoopConfig(
+            epochs=4, batch_size=2, out_dir=str(tmp_path / "pk"),
+            pose_eval_freq=1, keep_freq=2, save_best_pose=True)
+        _, hist = train_loop.fit(
+            model, params, train_ds, {"syn": test_ds}, tcfg, lcfg,
+            progress=lambda *_: None, pose_eval_fn=pose_eval_fn)
+        assert calls == [1, 2, 3, 4]
+        assert os.path.exists(str(tmp_path / "pk" /
+                                  "checkpoint-best_pose.npz"))
+        assert os.path.exists(str(tmp_path / "pk" / "checkpoint-2.npz"))
+        assert os.path.exists(str(tmp_path / "pk" / "checkpoint-4.npz"))
+        # best ATE (0.2, epoch 2) persisted into checkpoint-last and the
+        # final entry logged the eval fields incl. the failed epoch
+        data = np.load(str(tmp_path / "pk" / "checkpoint-last.npz"))
+        assert float(data["__best_pose"]) == 0.2
+        assert hist[-1]["pose_mean_ate"] == 0.4
+        assert hist[2]["pose_mean_ate"] is None
+        # median-based best selection logged both loss and loss_med
+        assert "test_syn_loss_med" in hist[-1]
