@@ -35,11 +35,14 @@ class RasterSettings:
     max_total_entries: int | None = None
     # Below this table size (N * max_tiles_per_gaussian), binning sorts the
     # FULL padded table and skips compaction even when max_total_entries is
-    # set: XLA's uint32 sort is cheap at these sizes while the compaction
-    # scatter is a serial loop on TPU (~11 ms at a 3.2M table — measured
-    # end-to-end, docs/PERF.md). Also exact: no entry drops. Set to 0 to
-    # force compaction whenever max_total_entries is set.
-    full_sort_below: int = 8_000_000
+    # set: the compaction scatter is a serial loop on TPU (~16 ns/entry)
+    # while the payload-free uint32 sort is fast — measured 68->57 ms
+    # fwd+bwd at a 3.2M table and 474->230 ms prep+binning at 48M
+    # (docs/PERF.md). Also exact: no entry drops. Above the threshold the
+    # 4B*N*D table's memory (e.g. 640 MB at 5M x 32) argues for the
+    # compact buffer again. Set 0 to force compaction when
+    # max_total_entries is set.
+    full_sort_below: int = 64_000_000
     # When > 0, pack a depth quantized to this many bits into the sort key
     # (tile << bits | depth_q) instead of exact depth ranks — removes the
     # global N-element depth argsort from binning. Gaussians closer than

@@ -1,69 +1,55 @@
 """Experiment: does Mosaic support dynamic gathers inside a Pallas TPU
-kernel on this toolchain?  Tests three forms a fused binning/blend kernel
-would want:
+kernel on this toolchain?  Result recorded in docs/PERF.md.
 
-  A. row gather from a VMEM-resident table:  out[k, :] = table[idx[k], :]
-  B. jnp.take along axis 0
-  C. take_along_axis on the lane axis with a [1, K] index row
+  A. row int-indexing table[idx, :]          -> "Cannot do int indexing"
+  B. jnp.take(table, idx, axis=0)            -> gather shape mismatch
+  C. take_along_axis on the LANE axis of a [C, N] table with [C, K] idx
+  D. same as C but one sublane row [1, N] / [1, K]
 
-Each is timed standalone (chained) if it compiles; failures print the
-Mosaic error and move on.  Run on the real chip.
+Run on the real chip.
 """
 from __future__ import annotations
 
-import functools
-import sys
-import time
-import traceback
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
-N, C = 4096, 16          # table rows, cols (multiples of 8/128 tested too)
+N, C = 4096, 8            # table cols (lanes) = N, sublanes = C
 K = 1024                  # gathers per call
 
 
-def run(name, kernel, table, idx):
+def run(name, kernel, out_shape, args, check):
     try:
         out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((K, C), jnp.float32),
-        )(table, idx)
+            kernel, out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        )(*args)
         out.block_until_ready()
-        # correctness
-        import numpy as np
-        np.testing.assert_allclose(np.asarray(out),
-                                   np.asarray(table)[np.asarray(idx)],
-                                   atol=0)
+        np.testing.assert_allclose(np.asarray(out), check, atol=0)
         print(f"{name}: OK")
         return True
     except Exception as e:
-        msg = str(e).splitlines()[0][:160]
-        print(f"{name}: FAIL {type(e).__name__}: {msg}")
+        lines = str(e).splitlines() or [repr(e)]
+        print(f"{name}: FAIL {type(e).__name__}: {lines[0][:160]}")
         return False
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    table = jax.random.normal(key, (N, C), jnp.float32)
+    tCN = jax.random.normal(jax.random.PRNGKey(0), (C, N), jnp.float32)
     idx = jax.random.randint(jax.random.PRNGKey(1), (K,), 0, N, jnp.int32)
+    idxCK = jnp.broadcast_to(idx[None, :], (C, K))
+    want = np.asarray(tCN)[:, np.asarray(idx)]
 
-    def kern_a(table_ref, idx_ref, o_ref):
-        o_ref[...] = table_ref[idx_ref[...], :]
+    def kern_c(t_ref, i_ref, o_ref):
+        o_ref[...] = jnp.take_along_axis(t_ref[...], i_ref[...], axis=1)
 
-    def kern_b(table_ref, idx_ref, o_ref):
-        o_ref[...] = jnp.take(table_ref[...], idx_ref[...], axis=0)
+    run("C take_along_axis lanes [C,N]", kern_c, (C, K),
+        (tCN, idxCK), want)
 
-    def kern_c(table_ref, idx_ref, o_ref):
-        t = table_ref[...]                       # [N, C]
-        ix = idx_ref[...]                        # [K]
-        o_ref[...] = jnp.take_along_axis(
-            t.T, jnp.broadcast_to(ix[None, :], (C, K)), axis=1).T
-
-    run("A row-index", kern_a, table, idx)
-    run("B jnp.take axis0", kern_b, table, idx)
-    run("C take_along_axis lanes", kern_c, table, idx)
+    t1 = tCN[:1]
+    idx1 = idxCK[:1]
+    run("D take_along_axis lanes [1,N]", kern_c, (1, K),
+        (t1, idx1), want[:1])
 
 
 if __name__ == "__main__":

@@ -59,6 +59,36 @@ def test_full_training_run(scene_dir, tmp_path):
                                atol=1e-6)
 
 
+def test_no_optim_test_pose_reference_parity(scene_dir):
+    """--no-optim-test-pose reproduces the reference exactly: its test-pose
+    'optimization' is a silent no-op (see step.test_pose_step docstring),
+    so the test poses coming out of training must be BIT-IDENTICAL to the
+    stage-1 input poses. With optimization on, they must move."""
+    import jax.numpy as jnp
+    data = readers.load_scene(scene_dir, eval_mode=True)
+
+    def run(optim_test_pose):
+        bundle = scene_setup.build_scene(data, sh_degree=0, conf_thre=1.0,
+                                         max_per_tile=512,
+                                         max_tiles_per_gaussian=16)
+        orig = (np.asarray(bundle.test_poses.Q).copy(),
+                np.asarray(bundle.test_poses.T).copy())
+        cfg = OptimizationConfig(iterations=30, psnr_threshold=5.0)
+        result = trainer.train_scene(
+            bundle, cfg, model_path=None, log_every=30,
+            optim_test_pose=optim_test_pose, progress=lambda *_: None)
+        tp = result.test_pose_state.poses
+        return orig, (np.asarray(tp.Q), np.asarray(tp.T))
+
+    orig, off = run(False)
+    np.testing.assert_array_equal(off[0], orig[0])   # bit-identical
+    np.testing.assert_array_equal(off[1], orig[1])
+
+    orig, on = run(True)
+    assert np.abs(on[0] - orig[0]).max() > 0 or \
+        np.abs(on[1] - orig[1]).max() > 0
+
+
 def test_training_improves_on_static_scene(scene_dir, tmp_path):
     """Longer run on the train split only: loss must drop substantially."""
     data = readers.load_scene(scene_dir, eval_mode=False)
