@@ -3,15 +3,35 @@
 
 Design (SURVEY.md §7 step 2b): instead of a dynamic-size duplicated key list,
 we build a STATIC [N * D] duplication table (D = ``max_tiles_per_gaussian``),
-stable-sort it by tile id with Gaussians pre-ordered by depth — stability
-makes every tile's segment depth-sorted for free — then cut per-tile windows
-of capacity K. Overflow policy (documented, checkable from ``TileBins``):
+sort it by a packed self-describing (tile << nbits | depth-rank) key — one
+unstable single-key sort whose result equals the CUDA stable radix sort —
+then cut per-tile windows of capacity K. Overflow policy (documented,
+checkable from ``TileBins``):
 
   * a Gaussian touching more than D tiles only lands in the first D rect
     cells (row-major);
-  * a tile with more than K Gaussians keeps the K nearest (front-to-back
+  * a tile with more than K slots keeps the K nearest (front-to-back
     blending with the 1e-4 transmittance cutoff makes the truncated tail
     almost always invisible anyway).
+
+TPU-first details that differ from the CUDA pipeline:
+
+  * **Rank windows, not gid lists.** The output ``rank`` is the per-slot
+    depth rank; callers gather attributes from a depth-ordered table
+    (``attr[order]``) so the expensive [T, K]-scale ``order[...]``
+    composition gather never happens. ``order`` maps rank -> gaussian id.
+  * **128-aligned windows.** Each tile's window starts at the sort
+    position rounded DOWN to a multiple of 128, so window extraction is a
+    gather of whole 128-lane rows (near-bandwidth on TPU) instead of a
+    per-element gather. The ``delta`` leading entries of each window
+    belong to earlier tiles and must be masked by the consumer
+    (slots [delta, delta + count) are live).
+  * **Exact per-pair tile culling** (``settings.tight_binning``): a
+    (Gaussian, tile) pair is kept only if the minimum of the conic
+    quadratic over the tile's pixel box reaches ``alpha >= 1/255``; pairs
+    below that are skipped by the blend kernel at every pixel anyway, so
+    dropping them is image- and gradient-exact while shrinking per-tile
+    counts (and with them blend-kernel work).
 
 Indices are integers: the whole stage sits under ``stop_gradient`` at the
 ``rasterize`` level; gradients flow through the *gathered values*, not the
@@ -29,11 +49,101 @@ from das3r_tpu.ops.splat.settings import RasterSettings
 
 
 class TileBins(NamedTuple):
-    gid: jax.Array        # [T, K] int32 Gaussian index per slot (junk if >= count)
-    count: jax.Array      # [T] int32 number of live slots (clamped to K)
+    rank: jax.Array       # [T, K] int32 depth rank per window slot (junk
+                          # outside [delta, delta + count); clipped to N-1)
+    delta: jax.Array      # [T] int32 leading foreign entries per window
+    order: jax.Array      # [N] int32 depth rank -> gaussian index
+    count: jax.Array      # [T] int32 live slots (at [delta, delta+count))
     full_count: jax.Array  # [T] int32 pre-truncation count (overflow telemetry)
-    dup_overflow: jax.Array  # [] int32 number of Gaussians whose rect was cut by D
+    dup_overflow: jax.Array  # [] int32 Gaussians whose rect was cut by D
     entry_overflow: jax.Array  # [] int32 entries dropped by max_total_entries
+
+
+def gids(bins: TileBins) -> jax.Array:
+    """[T, K] Gaussian index per slot (junk outside the live range)."""
+    return bins.order[bins.rank]
+
+
+def _pad128(keys: jax.Array, sentinel) -> jax.Array:
+    """Pad a 1-D key array to a multiple of 128 with the sentinel (done
+    BEFORE the sort so the pad costs no extra pass — sentinels sort last)."""
+    e = keys.shape[0]
+    pad = (-e) % 128
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((pad,), sentinel, keys.dtype)])
+    return keys
+
+
+def _windows(sorted_keys: jax.Array, boundaries: jax.Array, k_cap: int):
+    """Cut [T, K] windows from a sorted key array.
+
+    ``boundaries`` are the T+1 key values delimiting tiles. When K and the
+    array length are 128-aligned, windows start at the previous multiple of
+    128 and extraction is a whole-row gather; ``delta`` counts the foreign
+    leading entries. Returns (win, delta, count, full_count)."""
+    e = sorted_keys.shape[0]
+    bounds = jnp.searchsorted(sorted_keys, boundaries, side="left")
+    start, end = bounds[:-1], bounds[1:]
+    full_count = (end - start).astype(jnp.int32)
+    t = start.shape[0]
+    if k_cap % 128 == 0 and e % 128 == 0 and e >= k_cap:
+        start_al = jnp.minimum((start // 128) * 128, e - k_cap)
+        delta = jnp.where(full_count > 0,
+                          (start - start_al).astype(jnp.int32), 0)
+        rows = sorted_keys.reshape(e // 128, 128)
+        widx = (start_al // 128)[:, None] + jnp.arange(
+            k_cap // 128, dtype=start_al.dtype)[None, :]
+        win = rows[widx].reshape(t, k_cap)
+    else:
+        delta = jnp.zeros((t,), jnp.int32)
+        slot = jnp.arange(k_cap, dtype=jnp.int32)[None, :]
+        gidx = jnp.clip(start[:, None] + slot, 0, e - 1)
+        win = sorted_keys[gidx]
+    count = jnp.maximum(
+        jnp.minimum(full_count, k_cap - delta), 0).astype(jnp.int32)
+    return win, delta, count, full_count
+
+
+def _tile_pair_keep(prep_sorted_mean2d, prep_sorted_conic, q_cap_sorted,
+                    tx, ty, settings: RasterSettings):
+    """Exact per-(Gaussian, tile) cull: keep iff the minimum of the conic
+    quadratic q(d) = A dx^2 + 2B dx dy + C dy^2 over the tile's pixel box
+    satisfies alpha = op * exp(-q/2) >= alpha_floor, i.e. q_min <= q_cap.
+
+    The box min of a PSD quadratic is 0 if the center lies inside, else the
+    min over the four edges (each a clamped 1-D quadratic minimum). The
+    continuous-box minimum lower-bounds the kernel's integer-pixel minimum,
+    so culling is conservative-exact (never drops a contributing pair).
+    """
+    s = settings
+    mx = prep_sorted_mean2d[:, 0:1]
+    my = prep_sorted_mean2d[:, 1:2]
+    A = prep_sorted_conic[:, 0:1]
+    B = prep_sorted_conic[:, 1:2]
+    C = prep_sorted_conic[:, 2:3]
+    A_safe = jnp.where(A > 0, A, 1.0)
+    C_safe = jnp.where(C > 0, C, 1.0)
+
+    lx = tx.astype(jnp.float32) * s.tile - mx            # [N, D]
+    hx = lx + (s.tile - 1)
+    ly = ty.astype(jnp.float32) * s.tile - my
+    hy = ly + (s.tile - 1)
+    inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+
+    def q_edge_x(xh):
+        yst = jnp.clip(-B * xh / C_safe, ly, hy)
+        return A * xh * xh + 2.0 * B * xh * yst + C * yst * yst
+
+    def q_edge_y(yh):
+        xst = jnp.clip(-B * yh / A_safe, lx, hx)
+        return A * xst * xst + 2.0 * B * xst * yh + C * yh * yh
+
+    q_min = jnp.minimum(
+        jnp.minimum(q_edge_x(lx), q_edge_x(hx)),
+        jnp.minimum(q_edge_y(ly), q_edge_y(hy)))
+    q_min = jnp.where(inside, 0.0, q_min)
+    return q_min <= q_cap_sorted[:, None] + 1e-3
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
@@ -52,6 +162,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     # (the CUDA radix sort over float bits is stable too).
     sort_depth = jnp.where(alive, prep.depth, jnp.inf)
     order = jnp.argsort(sort_depth, stable=True)          # [N] gaussian ids
+    order = order.astype(jnp.int32)
 
     # Re-index per-gaussian rects into depth order.
     rect_min = prep.rect_min[order]                       # [N, 2]
@@ -59,9 +170,8 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     alive_sorted = alive[order]
 
     width = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    # Zero ntt for non-binnable rows (mirrors _bin_quantized_depth): they
-    # never emit keys, so they must not consume compact-buffer positions or
-    # inflate total/entry_overflow.
+    # Zero ntt for non-binnable rows: they never emit keys, so they must
+    # not consume compact-buffer positions or inflate entry telemetry.
     ntt = jnp.where(alive_sorted,
                     jnp.minimum(prep.n_tiles_touched[order], d_cap), 0)
     dup_overflow = jnp.sum(
@@ -81,6 +191,10 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     tx = rect_min[:, 0:1] + col
     tile = ty * s.tiles_x + tx
     dup_valid = alive_sorted[:, None] & (d_idx < ntt[:, None])
+    if s.tight_binning:
+        dup_valid = dup_valid & _tile_pair_keep(
+            jax.lax.stop_gradient(prep.mean2d)[order],
+            prep.conic[order], prep.q_cap[order], tx, ty, s)
     tile = jnp.where(dup_valid, tile, s.n_tiles).astype(jnp.int32)
 
     entry_overflow = jnp.zeros((), jnp.int32)
@@ -90,74 +204,64 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     # ordering by it equals tile-major depth-minor — a stable sort's result
     # from ONE unstable single-key sort. (The dup-table row index IS the
     # depth rank because rows were re-indexed into depth order above.)
-    # The key is SELF-DESCRIBING — gid = order[key & (2^nbits - 1)] — so
-    # the sort carries NO payload (half the bitonic data movement of a
-    # (key, gid) pair sort) and the gid half of the compaction scatter
-    # disappears.
+    # The key is SELF-DESCRIBING — rank = key & (2^nbits - 1) — so the sort
+    # carries NO payload and the windows directly yield depth ranks.
     nbits = max(int(n - 1).bit_length(), 1)
     packable = (s.n_tiles + 1) << nbits <= 2**32
     if packable:
-        rank = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
-        packed = (tile.astype(jnp.uint32) << nbits) | rank
+        rank_iota = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
+        packed = (tile.astype(jnp.uint32) << nbits) | rank_iota
         sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
+        boundaries = (jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits)
+        mask = jnp.uint32((1 << nbits) - 1)
 
     use_compact = (s.max_total_entries is not None
                    and n * d_cap > s.full_sort_below)
     if packable and use_compact:
         # Compact the (mostly padding) N*D table into a dense buffer before
-        # sorting: typical scenes fill only ~10-20% of the table, and the
-        # bitonic sort is the binning bottleneck. Entries beyond the cap
-        # belong to the FARTHEST Gaussians (rows are depth-ordered) and are
-        # dropped with telemetry.
+        # sorting: at production scale the 4B*N*D table's memory argues for
+        # it. Entries beyond the cap belong to the FARTHEST Gaussians (rows
+        # are depth-ordered) and are dropped with telemetry.
         e_cap = s.max_total_entries
-        base = jnp.cumsum(ntt) - ntt                      # [N] excl. prefix
-        pos = base[:, None] + d_idx                       # [N, D]
-        in_buf = dup_valid & (pos < e_cap)
+        live = dup_valid
+        pos_in_row = jnp.cumsum(live.astype(jnp.int32), axis=1) - live
+        ntt_live = pos_in_row[:, -1] + live[:, -1]
+        base = jnp.cumsum(ntt_live) - ntt_live            # [N] excl. prefix
+        pos = base[:, None] + pos_in_row                  # [N, D]
+        in_buf = live & (pos < e_cap)
         pos = jnp.where(in_buf, pos, e_cap).reshape(-1)
-        total = base[-1] + ntt[-1]
+        total = base[-1] + ntt_live[-1]
         entry_overflow = jnp.maximum(total - e_cap, 0).astype(jnp.int32)
         buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
             jnp.where(in_buf, packed, sentinel).reshape(-1),
             unique_indices=True)[:-1]
-        sorted_packed = jax.lax.sort(buf_key, dimension=0)
-        n_entries = e_cap
+        sorted_packed = jax.lax.sort(_pad128(buf_key, sentinel), dimension=0)
     elif packable:
-        sorted_packed = jax.lax.sort(packed.reshape(-1), dimension=0)
-        n_entries = n * d_cap
+        sorted_packed = jax.lax.sort(
+            _pad128(packed.reshape(-1), sentinel), dimension=0)
     else:
-        flat_gid = jnp.broadcast_to(
-            order[:, None].astype(jnp.int32), (n, d_cap)).reshape(-1)
-        sorted_tile_arr, sorted_gid = jax.lax.sort(
-            (tile.reshape(-1), flat_gid), dimension=0, is_stable=True,
+        flat_rank = jax.lax.broadcasted_iota(
+            jnp.int32, (n, d_cap), 0).reshape(-1)
+        sorted_tile_arr, sorted_rank = jax.lax.sort(
+            (tile.reshape(-1), flat_rank), dimension=0, is_stable=True,
             num_keys=1)
-        n_entries = n * d_cap
-    slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]   # [1, K]
+
     if packable:
-        # One (T+1)-query search gives every tile's [start, end) directly on
-        # the raw keys (entries of tile t are < (t+1) << nbits), and the gid
-        # mapping composes at [T, K] granularity — no 800k-entry
-        # sorted_tile / sorted_gid arrays are ever materialized.
-        bounds = jnp.searchsorted(
-            sorted_packed,
-            jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits,
-            side="left")
+        win, delta, count, full_count = _windows(
+            sorted_packed, boundaries, s.max_per_tile)
+        rank = jnp.minimum((win & mask).astype(jnp.int32), n - 1)
+    else:
+        tile_ids = jnp.arange(s.n_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(sorted_tile_arr, tile_ids, side="left")
         start, end = bounds[:-1], bounds[1:]
         full_count = (end - start).astype(jnp.int32)
         count = jnp.minimum(full_count, s.max_per_tile)
-        gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
-        gid = order.astype(jnp.int32)[
-            (sorted_packed[gather_idx]
-             & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)]   # [T, K]
-    else:
-        tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
-        start = jnp.searchsorted(sorted_tile_arr, tile_ids, side="left")
-        end = jnp.searchsorted(sorted_tile_arr, tile_ids, side="right")
-        full_count = (end - start).astype(jnp.int32)
-        count = jnp.minimum(full_count, s.max_per_tile)
-        gather_idx = jnp.clip(start[:, None] + slot, 0, n_entries - 1)
-        gid = sorted_gid[gather_idx]                       # [T, K]
-    return TileBins(gid=gid, count=count, full_count=full_count,
-                    dup_overflow=dup_overflow,
+        delta = jnp.zeros((s.n_tiles,), jnp.int32)
+        slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]
+        gather_idx = jnp.clip(start[:, None] + slot, 0, n * d_cap - 1)
+        rank = jnp.minimum(sorted_rank[gather_idx], n - 1)
+    return TileBins(rank=rank, delta=delta, order=order, count=count,
+                    full_count=full_count, dup_overflow=dup_overflow,
                     entry_overflow=entry_overflow)
 
 
@@ -166,7 +270,10 @@ def _bin_quantized_depth(prep: Preprocessed,
     """Fast path: the sort key is (tile << bits | quantized depth), so the
     global depth argsort disappears entirely (the CUDA rasterizer packs
     float depth BITS the same way; we quantize to fit 32 bits next to the
-    tile id). Requires ``max_total_entries`` for the compact buffer."""
+    tile id). Requires ``max_total_entries`` for the compact buffer.
+
+    Contract note: here the sorted payload is the gaussian id itself, so
+    ``rank`` IS the gaussian index and ``order`` is the identity."""
     s = settings
     n = prep.depth.shape[0]
     d_cap = s.max_tiles_per_gaussian
@@ -200,23 +307,25 @@ def _bin_quantized_depth(prep: Preprocessed,
     total = base[-1] + ntt[-1]
     entry_overflow = jnp.maximum(total - e_cap, 0).astype(jnp.int32)
 
-    gids = jax.lax.broadcasted_iota(jnp.int32, (n, d_cap), 0).reshape(-1)
+    gid_iota = jax.lax.broadcasted_iota(jnp.int32, (n, d_cap), 0).reshape(-1)
     buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
         jnp.where(in_buf, key, sentinel).reshape(-1), unique_indices=True)[:-1]
     buf_gid = jnp.zeros((e_cap + 1,), jnp.int32).at[pos].set(
-        gids, unique_indices=True)[:-1]
+        gid_iota, unique_indices=True)[:-1]
     sorted_key, sorted_gid = jax.lax.sort(
         (buf_key, buf_gid), dimension=0, num_keys=1)
     sorted_tile = (sorted_key >> bits).astype(jnp.int32)
 
-    tile_ids = jnp.arange(s.n_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_tile, tile_ids, side="left")
-    end = jnp.searchsorted(sorted_tile, tile_ids, side="right")
+    tile_ids = jnp.arange(s.n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_tile, tile_ids, side="left")
+    start, end = bounds[:-1], bounds[1:]
     full_count = (end - start).astype(jnp.int32)
     count = jnp.minimum(full_count, s.max_per_tile)
+    delta = jnp.zeros((s.n_tiles,), jnp.int32)
     slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(start[:, None] + slot, 0, e_cap - 1)
-    gid = sorted_gid[gather_idx]
-    return TileBins(gid=gid, count=count, full_count=full_count,
-                    dup_overflow=dup_overflow,
+    rank = jnp.minimum(sorted_gid[gather_idx], n - 1)
+    return TileBins(rank=rank, delta=delta,
+                    order=jnp.arange(n, dtype=jnp.int32), count=count,
+                    full_count=full_count, dup_overflow=dup_overflow,
                     entry_overflow=entry_overflow)

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from das3r_tpu.ops.splat.binning import TileBins
+from das3r_tpu.ops.splat.binning import TileBins, gids
 from das3r_tpu.ops.splat.settings import RasterSettings
 
 
@@ -117,10 +117,11 @@ def blend_tiles(
     pix_all = _tile_pixel_coords(s, dtype)                   # [T, P, 2]
 
     def run_batch(batch):
-        gid, count, pix = batch                              # [B,K],[B],[B,P,2]
+        gid, count, delta, pix = batch                       # [B,K],[B],[B],[B,P,2]
         B = gid.shape[0]
         slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-        live_all = slot < count[:, None]                     # [B, K]
+        live_all = ((slot >= delta[:, None])
+                    & (slot < (delta + count)[:, None]))     # [B, K]
 
         def make_chunk(c):
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, 1)
@@ -147,11 +148,12 @@ def blend_tiles(
     def pad0(x):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
-    gid_b = pad0(bins.gid).reshape(n_batches, tile_batch, K)
+    gid_b = pad0(gids(bins)).reshape(n_batches, tile_batch, K)
     count_b = pad0(bins.count).reshape(n_batches, tile_batch)
+    delta_b = pad0(bins.delta).reshape(n_batches, tile_batch)
     pix_b = pad0(pix_all).reshape(n_batches, tile_batch, P, 2)
 
-    out = jax.lax.map(run_batch, (gid_b, count_b, pix_b))    # [NB, B, P, 3]
+    out = jax.lax.map(run_batch, (gid_b, count_b, delta_b, pix_b))
     out = out.reshape(n_batches * tile_batch, P, 3)[:n_tiles]
     return assemble_image(out, s)
 
@@ -190,11 +192,13 @@ def blend_tiles_sharded(
             x, P_(tile_axis, *([None] * (x.ndim - 1)))))
         if tile_axis is not None else (lambda x: x))
 
-    gid = constrain(bins.gid)                                # [T, K]
+    gid = constrain(gids(bins))                              # [T, K]
     count = constrain(bins.count)
+    delta = constrain(bins.delta)
     pix = constrain(pix_all)
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    live_all = slot < count[:, None]
+    live_all = ((slot >= delta[:, None])
+                & (slot < (delta + count)[:, None]))
 
     body = jax.checkpoint(functools.partial(_blend_chunk, settings=s))
 

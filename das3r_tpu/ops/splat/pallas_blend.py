@@ -111,8 +111,12 @@ def _pixel_coords(settings: RasterSettings, tile_idx):
     return px, py
 
 
-def _chunk_quantities(attr_ref, px, py, c, chunk, count, settings):
-    """Shared fwd/bwd math for one chunk: returns per-[P, chunk] arrays."""
+def _chunk_quantities(attr_ref, px, py, c, chunk, delta, count, settings):
+    """Shared fwd/bwd math for one chunk: returns per-[P, chunk] arrays.
+
+    Live slots are [delta, delta + count): aligned windows carry up to 127
+    leading entries belonging to earlier tiles (binning.py ``_windows``).
+    """
     s = settings
     P = px.shape[0]
     sl = pl.ds(c * chunk, chunk)
@@ -131,19 +135,21 @@ def _chunk_quantities(attr_ref, px, py, c, chunk, count, settings):
     alpha = jnp.minimum(s.alpha_clip, alpha_raw)
     k_global = _lane_iota(P, chunk) + c * chunk
     valid = ((power <= 0.0) & (alpha >= s.alpha_floor)
-             & (k_global < count))
+             & (k_global >= delta) & (k_global < delta + count))
     a = jnp.where(valid, alpha, 0.0)
     return dx, dy, power, alpha_raw, alpha, valid, a
 
 
-def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
-                    tin_ref, *, settings: RasterSettings, chunk: int):
+def _forward_kernel(count_ref, delta_ref, attr_ref, bg_ref, color_ref,
+                    tfinal_ref, tin_ref, *, settings: RasterSettings,
+                    chunk: int):
     s = settings
     P = s.tile * s.tile
     K = s.max_per_tile
     n_chunks = K // chunk
     t = pl.program_id(0)
     count = count_ref[t]
+    delta = delta_ref[t]
     px, py = _pixel_coords(s, t)
     # Per-chunk ENTRY transmittance, saved for the backward pass (kills its
     # forward-replay phase). Zero rows mark chunks the early-termination
@@ -155,7 +161,7 @@ def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
         C, T = carry                                # [P, 3], [P, 1]
         tin_ref[c, :, :] = T
         _, _, _, _, _, valid, a = _chunk_quantities(
-            attr_ref, px, py, c, chunk, count, s)
+            attr_ref, px, py, c, chunk, delta, count, s)
         one_m = 1.0 - a
         # log-space exclusive prefix product on the MXU: alpha is clipped at
         # 0.99 so log1p(-a) >= log(0.01) is finite; invalid lanes have a=0
@@ -177,7 +183,7 @@ def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
 
     def cond(state):
         c, (C, T) = state
-        return (c < pl.cdiv(count, chunk)) & (
+        return (c < pl.cdiv(delta + count, chunk)) & (
             jnp.max(T) >= s.transmittance_eps)
 
     def wbody(state):
@@ -185,15 +191,18 @@ def _forward_kernel(count_ref, attr_ref, bg_ref, color_ref, tfinal_ref,
         return c + 1, body(c, carry)
 
     init = (jnp.zeros((P, 3), jnp.float32), jnp.ones((P, 1), jnp.float32))
-    _, (C, T) = jax.lax.while_loop(cond, wbody, (0, init))
+    # chunks before delta // chunk contain only foreign slots (masked
+    # invalid) — skip them; tin rows for them stay zero, which the backward
+    # already treats as unvisited.
+    _, (C, T) = jax.lax.while_loop(cond, wbody, (delta // chunk, init))
 
     bg = bg_ref[0, :].reshape(1, 3)
     color_ref[:, :] = C + T * bg
     tfinal_ref[:, :] = T
 
 
-def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
-                     tin_ref, grad_ref,
+def _backward_kernel(count_ref, delta_ref, attr_ref, bg_ref, cot_ref,
+                     tfinal_ref, tin_ref, grad_ref,
                      *, settings: RasterSettings, chunk: int):
     """Per-tile backward: single reverse sweep with the suffix accumulator,
     reading the per-chunk entry transmittance the forward kernel saved."""
@@ -203,17 +212,22 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
     n_chunks = K // chunk
     t = pl.program_id(0)
     count = count_ref[t]
+    delta = delta_ref[t]
     px, py = _pixel_coords(s, t)
     g = cot_ref[:, :]                                # [P, 3] dL/d(tile color)
     grad_ref[:, :] = jnp.zeros((N_ATTR, K), jnp.float32)
 
     # Chunks the forward's early-termination loop visited have entry
     # transmittance rows with max(T) >= eps (the loop condition); unvisited
-    # rows were zero-filled. Visited chunks form a prefix, so n_stop is a
-    # count — chunks beyond it contributed nothing and get zero gradient.
-    n_stop = 0
+    # rows were zero-filled. Visited chunks form the contiguous range
+    # [delta // chunk, delta // chunk + n_vis) — the forward skips the
+    # fully-foreign leading chunks — so counting nonzero rows gives the
+    # visited count; chunks outside the range contributed nothing and get
+    # zero gradient.
+    c0 = delta // chunk
+    n_vis = 0
     for c in range(n_chunks):
-        n_stop = n_stop + jnp.where(
+        n_vis = n_vis + jnp.where(
             jnp.max(tin_ref[c, :, :]) >= s.transmittance_eps, 1, 0)
     T_final = tfinal_ref[:, :]                       # [P, 1]
 
@@ -223,10 +237,10 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
     S_init = gbg * T_final                           # bg term of the suffix
 
     def bbody(i, S):
-        c = n_stop - 1 - i
+        c = c0 + n_vis - 1 - i
         T_in = tin_ref[c, :, :]
         dx, dy, power, alpha_raw, alpha, valid, a = _chunk_quantities(
-            attr_ref, px, py, c, chunk, count, s)
+            attr_ref, px, py, c, chunk, delta, count, s)
         one_m = 1.0 - a
         cum_before = T_in * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))
         t_after = cum_before * one_m
@@ -252,7 +266,11 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
         # clip: alpha = min(0.99, alpha_raw) — no grad when clipped
         d_alpha_raw = jnp.where(alpha_raw > s.alpha_clip, 0.0, d_alpha)
         d_power = alpha_raw * d_alpha_raw
-        d_op = jnp.sum(jnp.exp(power) * d_alpha_raw, axis=0)
+        # exp(power) == alpha_raw / op for live lanes (saves a transcendental
+        # per chunk); d_alpha_raw is zero wherever the quotient is junk.
+        a_op = attr_ref[8, sl].reshape(1, chunk)
+        d_op = jnp.sum((alpha_raw / jnp.maximum(a_op, 1e-30))
+                       * d_alpha_raw, axis=0)
         a_cxx = attr_ref[2, sl].reshape(1, chunk)
         a_cxy = attr_ref[3, sl].reshape(1, chunk)
         a_cyy = attr_ref[4, sl].reshape(1, chunk)
@@ -271,7 +289,7 @@ def _backward_kernel(count_ref, attr_ref, bg_ref, cot_ref, tfinal_ref,
         # suffix carry for the previous (nearer) chunk
         return jnp.sum(e, axis=1, keepdims=True) + S
 
-    jax.lax.fori_loop(0, n_stop, bbody, S_init)
+    jax.lax.fori_loop(0, n_vis, bbody, S_init)
 
 
 def _pick_chunk(K: int) -> int:
@@ -282,18 +300,19 @@ def _pick_chunk(K: int) -> int:
     return K
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def blend_tiles_pallas(attrs: jax.Array, counts: jax.Array, bg: jax.Array,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def blend_tiles_pallas(attrs: jax.Array, counts: jax.Array,
+                       deltas: jax.Array, bg: jax.Array,
                        settings: RasterSettings):
-    """attrs [T, 9, K], counts [T] int32, bg [3] -> tile colors [T, P, 3].
-
-    Gradients flow to ``attrs`` and ``bg`` (counts are integers).
+    """attrs [T, 9, K], counts/deltas [T] int32, bg [3] ->
+    tile colors [T, P, 3]. Live slots are [delta, delta + count) per tile
+    (128-aligned binning windows). Gradients flow to ``attrs`` and ``bg``.
     """
-    colors, _, _ = _forward_impl(attrs, counts, bg, settings)
+    colors, _, _ = _forward_impl(attrs, counts, deltas, bg, settings)
     return colors
 
 
-def _forward_impl(attrs, counts, bg, settings: RasterSettings):
+def _forward_impl(attrs, counts, deltas, bg, settings: RasterSettings):
     s = settings
     T_tiles = s.n_tiles
     P = s.tile * s.tile
@@ -301,20 +320,20 @@ def _forward_impl(attrs, counts, bg, settings: RasterSettings):
     chunk = _pick_chunk(K)
     kernel = functools.partial(_forward_kernel, settings=s, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T_tiles,),
         in_specs=[
-            pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((None, N_ATTR, K), lambda t, c, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda t, c: (0, 0),
+            pl.BlockSpec((1, 3), lambda t, c, d: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, P, 3), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((None, P, 3), lambda t, c, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((None, P, 1), lambda t, c, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, K // chunk, P, 1), lambda t, c: (t, 0, 0, 0),
+            pl.BlockSpec((None, K // chunk, P, 1), lambda t, c, d: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -327,17 +346,17 @@ def _forward_impl(attrs, counts, bg, settings: RasterSettings):
             jax.ShapeDtypeStruct((T_tiles, K // chunk, P, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(counts, attrs, bg.reshape(1, 3))
+    )(counts, deltas, attrs, bg.reshape(1, 3))
     return colors, tfinal, tin
 
 
-def _fwd(attrs, counts, bg, settings):
-    colors, tfinal, tin = _forward_impl(attrs, counts, bg, settings)
-    return colors, (attrs, counts, bg, tfinal, tin)
+def _fwd(attrs, counts, deltas, bg, settings):
+    colors, tfinal, tin = _forward_impl(attrs, counts, deltas, bg, settings)
+    return colors, (attrs, counts, deltas, bg, tfinal, tin)
 
 
 def _bwd(settings: RasterSettings, res, g_colors):
-    attrs, counts, bg, tfinal, tin = res
+    attrs, counts, deltas, bg, tfinal, tin = res
     s = settings
     T_tiles = s.n_tiles
     P = s.tile * s.tile
@@ -346,21 +365,21 @@ def _bwd(settings: RasterSettings, res, g_colors):
     n_chunks = K // chunk
     kernel = functools.partial(_backward_kernel, settings=s, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T_tiles,),
         in_specs=[
-            pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((None, N_ATTR, K), lambda t, c, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda t, c: (0, 0),
+            pl.BlockSpec((1, 3), lambda t, c, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 3), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((None, P, 3), lambda t, c, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((None, P, 1), lambda t, c, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n_chunks, P, 1), lambda t, c: (t, 0, 0, 0),
+            pl.BlockSpec((None, n_chunks, P, 1), lambda t, c, d: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, N_ATTR, K), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((None, N_ATTR, K), lambda t, c, d: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     g_attrs = pl.pallas_call(
@@ -368,10 +387,10 @@ def _bwd(settings: RasterSettings, res, g_colors):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_tiles, N_ATTR, K), jnp.float32),
         interpret=_interpret(),
-    )(counts, attrs, bg.reshape(1, 3), g_colors, tfinal, tin)
+    )(counts, deltas, attrs, bg.reshape(1, 3), g_colors, tfinal, tin)
     # bg gradient: dL/dbg = sum over pixels of g * T_final
     g_bg = jnp.sum(g_colors * tfinal, axis=(0, 1))
-    return g_attrs, None, g_bg
+    return g_attrs, None, None, g_bg
 
 
 blend_tiles_pallas.defvjp(_fwd, _bwd)

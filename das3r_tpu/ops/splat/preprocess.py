@@ -40,6 +40,11 @@ class Preprocessed(NamedTuple):
                            # op, so op < floor never blends — skipping such
                            # Gaussians at binning is exactly image-preserving
                            # and lets capacity-padded dead Gaussians cost 0)
+    q_cap: jax.Array       # [N] conic-quadratic level where alpha crosses
+                           # the floor: q_cap = 2 ln(op / alpha_floor)
+                           # (UNcapped; binning's per-tile cull keeps a pair
+                           # iff min_box q <= q_cap — see settings
+                           # ``tight_binning``)
 
 
 def build_cov3d(scales: jax.Array, rotations: jax.Array,
@@ -198,24 +203,55 @@ def preprocess(
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam1 = mid + disc
     lam2 = mid - disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, lam2)))
+    lam_max = jnp.maximum(lam1, lam2)
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam_max))
 
-    # tile rect (getRect): int truncation after clamping to the grid
+    # alpha-floor crossing of the conic quadratic: alpha = op e^{-q/2} >=
+    # floor iff q <= q_cap. q >= dist^2 / lam_max, so pixels farther than
+    # sqrt(q_cap * lam_max) can never reach the floor — an EXACT shrink of
+    # the 3-sigma rect (the reference's per-pixel ``alpha < 1/255`` skip
+    # fires at every pixel of the excluded tiles). Capped at 3 sigma so the
+    # rect never grows past the reference's (pixels outside the 3-sigma
+    # rect are dropped by the reference even when alpha >= floor).
+    op_sg = jax.lax.stop_gradient(opacities.reshape(n))
+    q_cap = 2.0 * jnp.log(jnp.maximum(op_sg / s.alpha_floor, 1e-12))
+
+    # tile rect (getRect): int truncation after clamping to the grid.
+    # The REFERENCE rect (3-sigma radius, the CUDA formula verbatim —
+    # including its quirk of dropping the last tile when mu + r lands
+    # within 1px past a tile boundary, which we must reproduce).
     tgrid = jnp.asarray([s.tiles_x, s.tiles_y], jnp.int32)
+    mean2d_sg = jax.lax.stop_gradient(mean2d)
     rect_min = jnp.clip(
-        jnp.floor((mean2d - radius_f[:, None]) / s.tile).astype(jnp.int32),
+        jnp.floor((mean2d_sg - radius_f[:, None]) / s.tile
+                  ).astype(jnp.int32),
         0, tgrid)
     rect_max = jnp.clip(
-        ((mean2d + radius_f[:, None] + s.tile - 1) // s.tile).astype(jnp.int32),
+        ((mean2d_sg + radius_f[:, None] + s.tile - 1)
+         // s.tile).astype(jnp.int32),
         0, tgrid)
+    s3 = jnp.maximum(rect_max - rect_min, 0)
+    span3 = s3[:, 0] * s3[:, 1]
+
+    if s.tight_binning:
+        # Intersect with the alpha-floor support box — computed with a
+        # PROPER floor/ceil (the reference's (x + T - 1) // T idiom is only
+        # ceil for integers; with a shrunk radius it would drop covered
+        # tiles). Intersection keeps the rect exactly <= the reference's.
+        r_t = jnp.sqrt(jnp.maximum(q_cap, 0.0) * lam_max)[:, None]
+        tmin = jnp.floor((mean2d_sg - r_t) / s.tile).astype(jnp.int32)
+        tmax = jnp.floor((mean2d_sg + r_t) / s.tile).astype(jnp.int32) + 1
+        rect_min = jnp.clip(jnp.maximum(rect_min, tmin), 0, tgrid)
+        rect_max = jnp.clip(jnp.minimum(rect_max, tmax), 0, tgrid)
     span = jnp.maximum(rect_max - rect_min, 0)
     n_tiles_touched = span[:, 0] * span[:, 1]
 
-    valid = in_front & det_ok & (n_tiles_touched > 0)
+    # validity/radius stay 3-sigma-based for reference parity (densify
+    # stats and the visibility filter read ``radius``).
+    valid = in_front & det_ok & (span3 > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     n_tiles_touched = jnp.where(valid, n_tiles_touched, 0)
-    binnable = valid & (
-        jax.lax.stop_gradient(opacities.reshape(n)) >= s.alpha_floor)
+    binnable = valid & (op_sg >= s.alpha_floor) & (n_tiles_touched > 0)
 
     if colors_precomp is not None:
         color = colors_precomp
@@ -239,4 +275,5 @@ def preprocess(
         rect_max=rect_max,
         n_tiles_touched=n_tiles_touched,
         binnable=binnable,
+        q_cap=q_cap,
     )

@@ -95,12 +95,20 @@ def rasterize(
 
     if backend == "pallas":
         from das3r_tpu.ops.splat import pallas_blend
-        # one gather: per-tile slot attributes [T, K, 9] -> [T, 9, K]
-        attr_mat = jnp.concatenate(
-            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
-        gathered = attr_mat[bins.gid]                       # [T, K, 9]
+        # Materialize ONE contiguous [N, 9] attribute table (the barrier
+        # stops XLA from fusing the concat into the window gather, which
+        # would turn it into four skinny strided gathers — measured ~3x
+        # slower), permute it into depth-rank order at N-scale, then do the
+        # single [T, K]-scale gather by rank. The transpose of these two
+        # gathers is the per-Gaussian gradient reduction (rank-space
+        # scatter-add + N-scale permutation).
+        attr_mat = jax.lax.optimization_barrier(jnp.concatenate(
+            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1))
+        attr_rank = attr_mat[bins.order]                    # [N, 9]
+        gathered = attr_rank[bins.rank]                     # [T, K, 9]
         tiles = pallas_blend.blend_tiles_pallas(
-            jnp.swapaxes(gathered, 1, 2), bins.count, bg, settings)
+            jnp.swapaxes(gathered, 1, 2), bins.count, bins.delta, bg,
+            settings)
         img = blend.assemble_image(tiles, settings)
     else:
         binputs = blend.BlendInputs(mean2d=p.mean2d, conic=p.conic,

@@ -50,6 +50,18 @@ class RasterSettings:
     # CUDA reference orders by full float32 bits; visually indistinguishable
     # at >= 20 bits). 0 = exact rank path.
     depth_sort_bits: int = 0
+    # Opacity-aware binning (EXACT, image-preserving): (a) the binning rect
+    # shrinks to the isoline where peak alpha = opacity * exp(-q/2) crosses
+    # the 1/255 floor (q_cap = 2 ln(op/floor), capped at the reference's
+    # 3-sigma q=9), and (b) each surviving (Gaussian, tile) pair is kept
+    # only if the minimum of the conic quadratic over the tile's pixel box
+    # still reaches alpha >= floor. Pairs removed this way are skipped by
+    # the CUDA reference's per-pixel ``alpha < 1/255`` test at EVERY pixel
+    # of the tile, so they contribute nothing and carry no gradient — the
+    # rendered image and all gradients are bitwise-independent of them.
+    # The reported per-Gaussian ``radius`` (densify stats / visibility)
+    # stays the reference's 3-sigma value. False = reference rect binning.
+    tight_binning: bool = True
 
     @property
     def tiles_x(self) -> int:

@@ -80,7 +80,15 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
                                 mode="train", tile_axis="tile",
                                 gauss_axis=gauss_axis)
         static = params.conf_static[uid]
-        ph = loss_mod.photometric_loss(out.image, gt, static,
+        # Replicate the assembled image before the loss: the SSIM window
+        # stencil would otherwise be spatially partitioned, and its halo
+        # reassociation makes gradients differ between mesh shapes — with a
+        # replicated image the loss math is partition-invariant, so the
+        # sharded step stays BIT-identical to the unsharded one (the
+        # image is ~0.5 MB; its cotangent re-shards at the constraint).
+        img = jax.lax.with_sharding_constraint(
+            out.image, jax.sharding.NamedSharding(mesh, P()))
+        ph = loss_mod.photometric_loss(img, gt, static,
                                        cfg.lambda_dssim)
         return ph.loss, ph.psnr_frame
 

