@@ -116,6 +116,7 @@ def train_scene(
     densify_clone: bool = False,
     densify_split: bool = False,
     start_checkpoint: str | None = None,
+    profile_dir: str | None = None,
     progress=print,
 ) -> TrainResult:
     train = bundle.train_data
@@ -197,6 +198,7 @@ def train_scene(
             *[jnp.stack(x) for x in zip(*ms)])
         return state, meta, stacked
 
+    profiling = False
     for start, uids in chunks:
         end = start + len(uids)
         if end <= first_iter:
@@ -206,8 +208,18 @@ def train_scene(
             settings = dataclasses.replace(settings, sh_degree=sh_degree)
 
         track_stats = densify and end <= cfg.densify_until_iter
+        if profile_dir is not None and not profiling and start > first_iter:
+            # trace the SECOND chunk (first one carries compilation)
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         state, meta, metrics = run_chunk(state, meta, uids, settings,
                                          track_stats)
+        if profiling:
+            jax.block_until_ready(metrics.loss)
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            progress(f"profiler trace written")
         metric_handles.append((end, metrics))
         last_loss_handle = metrics.loss
 
@@ -389,7 +401,21 @@ def main(argv=None):
                     help="also enable INRIA split densification")
     ap.add_argument("--start_checkpoint", default=None,
                     help="resume from a chkpnt<N>.npz (train_gui.py:505-507)")
+    ap.add_argument("--detect_anomaly", action="store_true",
+                    help="NaN guard: abort at the op that produces the "
+                         "first non-finite value (jax_debug_nans — the "
+                         "TPU-side equivalent of the reference's "
+                         "torch.autograd.set_detect_anomaly flag, "
+                         "train_gui.py:749)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of one training chunk "
+                         "to DIR (view with tensorboard/xprof; through the "
+                         "dev relay device timelines may be incomplete — "
+                         "docs/PERF.md)")
     args = ap.parse_args(argv)
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     data = readers.load_scene(args.source_path, eval_mode=args.eval,
                               gt_dynamic_mask_dir=args.gt_dynamic_mask,
@@ -420,7 +446,8 @@ def main(argv=None):
         log_every=args.log_every,
         densify=args.densify, densify_clone=args.densify_clone,
         densify_split=args.densify_split,
-        start_checkpoint=args.start_checkpoint)
+        start_checkpoint=args.start_checkpoint,
+        profile_dir=args.profile)
     print(f"done: loss {result.last_loss:.5f} "
           f"iters/s {result.iters_per_sec:.2f} "
           f"test_psnr {result.test_psnr}")
