@@ -34,6 +34,7 @@ class Stage1LoopConfig:
                                   # best mean ATE (training.py:352-353)
     out_dir: str = "stage1_ckpt"
     seed: int = 777
+    tensorboard: bool = False   # TB scalars next to the JSON lines
 
 
 def _save_ckpt(path, train_params, opt_state, epoch, best,
@@ -123,6 +124,11 @@ def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
 
     os.makedirs(loop_cfg.out_dir, exist_ok=True)
     log_path = os.path.join(loop_cfg.out_dir, "log.txt")
+    # wandb-equivalent scalar stream (reference training.py:177-183,
+    # 266-269) — guarded TensorBoard next to the JSON lines
+    from das3r_tpu.utils import tblog
+    tb = tblog.make_writer(os.path.join(loop_cfg.out_dir, "tb")
+                           if loop_cfg.tensorboard else None)
     history = []
     global_step = start_epoch * max(
         1, len(train_dataset) // loop_cfg.batch_size)
@@ -190,6 +196,10 @@ def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
 
         with open(log_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
+        tblog.scalars(tb, ep1, **{k.replace("test_", "test__").replace(
+            "train_", "train__").replace("pose_", "pose__"): v
+            for k, v in entry.items()
+            if isinstance(v, (int, float)) and k != "epoch"})
         progress(f"epoch {epoch}: {entry}")
         history.append(entry)
 

@@ -38,6 +38,7 @@ from das3r_tpu.models import render as render_mod
 from das3r_tpu.train import checkpoint as ckpt
 from das3r_tpu.train import optim, scene_setup, step as step_mod
 from das3r_tpu.train.config import ModelConfig, OptimizationConfig, to_json
+from das3r_tpu.utils import tblog
 from das3r_tpu.utils.image import psnr as psnr_fn
 
 
@@ -117,6 +118,7 @@ def train_scene(
     densify_split: bool = False,
     start_checkpoint: str | None = None,
     profile_dir: str | None = None,
+    tb_writer=None,
     progress=print,
 ) -> TrainResult:
     train = bundle.train_data
@@ -263,10 +265,11 @@ def train_scene(
         # host-sync events (reports/saves) — the only device fetches
         for ev in [e for e in events if start < e <= end]:
             if ev in testing_iterations:
-                _report_train(model_path, ev, state, meta, bundle, settings,
+                _report_train(tb_writer, model_path, ev, state, meta,
+                              bundle, settings,
                               gt_images, fovx, fovy, bg, progress)
             if ev in testing_iterations and test is not None:
-                test_psnr_last = _report_test(
+                test_psnr_last = _report_test(tb_writer,
                     model_path, ev, state, tp_state, meta, bundle, settings,
                     test_gt, test_masks, test_fovx, test_fovy, bg,
                     progress)
@@ -289,6 +292,8 @@ def train_scene(
             lossv = float(np.asarray(metrics.loss)[-1])
             psnrv = float(np.asarray(metrics.psnr)[-1])
             progress(f"[ITER {end}] loss {lossv:.5f} psnr {psnrv:.2f}")
+            tblog.scalars(tb_writer, end, train__total_loss=lossv,
+                          train__psnr=psnrv)
 
     jax.block_until_ready(state.params.xyz)
     dt = time.perf_counter() - t0
@@ -328,8 +333,9 @@ def _append_log(model_path, fname, line, progress):
             f.write(line + "\n")
 
 
-def _report_train(model_path, iteration, state, meta, bundle, settings,
-                  gt_images, fovx, fovy, bg, progress, n_sample: int = 5):
+def _report_train(tb_writer, model_path, iteration, state, meta, bundle,
+                  settings, gt_images, fovx, fovy, bg, progress,
+                  n_sample: int = 5):
     """L1/PSNR on sampled TRAIN views -> train_log.txt (train_gui
     training_report :666-712 renders 5 sample train cameras)."""
     n = gt_images.shape[0]
@@ -342,12 +348,14 @@ def _report_train(model_path, iteration, state, meta, bundle, settings,
     _append_log(model_path, "train_log.txt",
                 f"[ITER {iteration}] Evaluating train: L1 {l1_t} "
                 f"PSNR {psnr_t}", progress)
+    tblog.scalars(tb_writer, iteration, train__eval_l1=l1_t,
+                  train__eval_psnr=psnr_t)
     return psnr_t
 
 
-def _report_test(model_path, iteration, state, tp_state, meta, bundle,
-                 settings, test_gt, test_masks, test_fovx, test_fovy, bg,
-                 progress):
+def _report_test(tb_writer, model_path, iteration, state, tp_state, meta,
+                 bundle, settings, test_gt, test_masks, test_fovx,
+                 test_fovy, bg, progress):
     """Masked test-view L1/PSNR over ALL test frames in one jitted call
     (one device->host fetch), appended to test_log.txt in the reference's
     exact format (train_test_psnr.training_report :241-302)."""
@@ -360,6 +368,7 @@ def _report_test(model_path, iteration, state, tp_state, meta, bundle,
     _append_log(model_path, "test_log.txt",
                 f"[ITER {iteration}] Evaluating test: L1 {l1_t} "
                 f"PSNR {psnr_t}", progress)
+    tblog.scalars(tb_writer, iteration, test__l1=l1_t, test__psnr=psnr_t)
     return psnr_t
 
 
@@ -407,6 +416,9 @@ def main(argv=None):
                          "TPU-side equivalent of the reference's "
                          "torch.autograd.set_detect_anomaly flag, "
                          "train_gui.py:749)")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="write TB scalars to <model_path>/tb (guarded "
+                         "import — reference train_gui.py:33-37)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one training chunk "
                          "to DIR (view with tensorboard/xprof; through the "
@@ -447,7 +459,10 @@ def main(argv=None):
         densify=args.densify, densify_clone=args.densify_clone,
         densify_split=args.densify_split,
         start_checkpoint=args.start_checkpoint,
-        profile_dir=args.profile)
+        profile_dir=args.profile,
+        tb_writer=tblog.make_writer(
+            os.path.join(args.model_path, "tb")
+            if args.tensorboard else None))
     print(f"done: loss {result.last_loss:.5f} "
           f"iters/s {result.iters_per_sec:.2f} "
           f"test_psnr {result.test_psnr}")
