@@ -76,32 +76,35 @@ def _pad128(keys: jax.Array, sentinel) -> jax.Array:
 
 
 def _windows(sorted_keys: jax.Array, boundaries: jax.Array, k_cap: int):
-    """Cut [T, K] windows from a sorted key array.
+    """Cut per-tile windows from a sorted key array.
 
     ``boundaries`` are the T+1 key values delimiting tiles. When K and the
     array length are 128-aligned, windows start at the previous multiple of
-    128 and extraction is a whole-row gather; ``delta`` counts the foreign
-    leading entries. Returns (win, delta, count, full_count)."""
+    128 and extraction is a whole-row gather of K + 128 entries — one
+    extra row, so the up-to-127 foreign leading entries (``delta``) never
+    eat into the K-capacity truncation policy (count stays
+    min(full_count, K) exactly like the unaligned path). Returns
+    (win [T, K or K+128], delta, count, full_count)."""
     e = sorted_keys.shape[0]
     bounds = jnp.searchsorted(sorted_keys, boundaries, side="left")
     start, end = bounds[:-1], bounds[1:]
     full_count = (end - start).astype(jnp.int32)
     t = start.shape[0]
-    if k_cap % 128 == 0 and e % 128 == 0 and e >= k_cap:
-        start_al = jnp.minimum((start // 128) * 128, e - k_cap)
+    k_pad = k_cap + 128
+    if k_cap % 128 == 0 and e % 128 == 0 and e >= k_pad:
+        start_al = jnp.minimum((start // 128) * 128, e - k_pad)
         delta = jnp.where(full_count > 0,
                           (start - start_al).astype(jnp.int32), 0)
         rows = sorted_keys.reshape(e // 128, 128)
         widx = (start_al // 128)[:, None] + jnp.arange(
-            k_cap // 128, dtype=start_al.dtype)[None, :]
-        win = rows[widx].reshape(t, k_cap)
+            k_pad // 128, dtype=start_al.dtype)[None, :]
+        win = rows[widx].reshape(t, k_pad)
     else:
         delta = jnp.zeros((t,), jnp.int32)
         slot = jnp.arange(k_cap, dtype=jnp.int32)[None, :]
         gidx = jnp.clip(start[:, None] + slot, 0, e - 1)
         win = sorted_keys[gidx]
-    count = jnp.maximum(
-        jnp.minimum(full_count, k_cap - delta), 0).astype(jnp.int32)
+    count = jnp.minimum(full_count, k_cap).astype(jnp.int32)
     return win, delta, count, full_count
 
 

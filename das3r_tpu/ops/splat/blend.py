@@ -110,8 +110,8 @@ def blend_tiles(
     """Blend all tiles -> [3, H, W] image composited onto ``bg`` [3]."""
     s = settings
     P = s.tile * s.tile
-    K = s.max_per_tile
-    assert K % chunk == 0, "max_per_tile must be a multiple of chunk"
+    K = bins.rank.shape[1]      # max_per_tile, or +128 for aligned windows
+    assert K % chunk == 0, "window width must be a multiple of chunk"
     n_chunks = K // chunk
     dtype = inputs.mean2d.dtype
     pix_all = _tile_pixel_coords(s, dtype)                   # [T, P, 2]
@@ -180,7 +180,7 @@ def blend_tiles_sharded(
 
     s = settings
     P = s.tile * s.tile
-    K = s.max_per_tile
+    K = bins.rank.shape[1]      # max_per_tile, or +128 for aligned windows
     assert K % chunk == 0
     n_chunks = K // chunk
     dtype = inputs.mean2d.dtype

@@ -142,10 +142,10 @@ def _chunk_quantities(attr_ref, px, py, c, chunk, delta, count, settings):
 
 def _forward_kernel(count_ref, delta_ref, attr_ref, bg_ref, color_ref,
                     tfinal_ref, tin_ref, *, settings: RasterSettings,
-                    chunk: int):
+                    chunk: int, k_width: int):
     s = settings
     P = s.tile * s.tile
-    K = s.max_per_tile
+    K = k_width
     n_chunks = K // chunk
     t = pl.program_id(0)
     count = count_ref[t]
@@ -203,12 +203,12 @@ def _forward_kernel(count_ref, delta_ref, attr_ref, bg_ref, color_ref,
 
 def _backward_kernel(count_ref, delta_ref, attr_ref, bg_ref, cot_ref,
                      tfinal_ref, tin_ref, grad_ref,
-                     *, settings: RasterSettings, chunk: int):
+                     *, settings: RasterSettings, chunk: int, k_width: int):
     """Per-tile backward: single reverse sweep with the suffix accumulator,
     reading the per-chunk entry transmittance the forward kernel saved."""
     s = settings
     P = s.tile * s.tile
-    K = s.max_per_tile
+    K = k_width
     n_chunks = K // chunk
     t = pl.program_id(0)
     count = count_ref[t]
@@ -316,9 +316,10 @@ def _forward_impl(attrs, counts, deltas, bg, settings: RasterSettings):
     s = settings
     T_tiles = s.n_tiles
     P = s.tile * s.tile
-    K = s.max_per_tile
+    K = attrs.shape[2]          # max_per_tile, or +128 for aligned windows
     chunk = _pick_chunk(K)
-    kernel = functools.partial(_forward_kernel, settings=s, chunk=chunk)
+    kernel = functools.partial(_forward_kernel, settings=s, chunk=chunk,
+                               k_width=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T_tiles,),
@@ -360,10 +361,11 @@ def _bwd(settings: RasterSettings, res, g_colors):
     s = settings
     T_tiles = s.n_tiles
     P = s.tile * s.tile
-    K = s.max_per_tile
+    K = attrs.shape[2]
     chunk = _pick_chunk(K)
     n_chunks = K // chunk
-    kernel = functools.partial(_backward_kernel, settings=s, chunk=chunk)
+    kernel = functools.partial(_backward_kernel, settings=s, chunk=chunk,
+                               k_width=K)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T_tiles,),

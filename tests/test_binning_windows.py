@@ -1,0 +1,127 @@
+"""Unit tests for the round-2 binning machinery: 128-aligned rank windows
+(``binning._windows``) and the exact per-(Gaussian, tile) alpha-floor cull
+(``binning._tile_pair_keep``)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from das3r_tpu.ops.splat import RasterSettings
+from das3r_tpu.ops.splat import binning
+
+
+class TestAlignedWindows:
+    def _brute(self, sorted_keys, boundaries, k_cap):
+        """Reference semantics: per-tile [start, end) windows, nearest-K
+        truncation."""
+        sk = np.asarray(sorted_keys)
+        b = np.searchsorted(sk, np.asarray(boundaries), side="left")
+        return b[:-1], b[1:]
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_aligned_equals_unaligned_content(self, seed):
+        rng = np.random.default_rng(seed)
+        e, t, k_cap = 128 * 40, 17, 128
+        nbits = 8
+        tiles = np.sort(rng.integers(0, t, e)).astype(np.uint32)
+        ranks = rng.integers(0, 2**nbits, e).astype(np.uint32)
+        keys = jnp.asarray(np.sort((tiles << nbits) | ranks))
+        boundaries = jnp.arange(t + 1, dtype=jnp.uint32) << nbits
+
+        win, delta, count, full_count = binning._windows(keys, boundaries,
+                                                         k_cap)
+        assert win.shape[1] == k_cap + 128   # one extra row of headroom
+        start, end = self._brute(keys, boundaries, k_cap)
+        np.testing.assert_array_equal(np.asarray(full_count), end - start)
+        for ti in range(t):
+            d, c = int(delta[ti]), int(count[ti])
+            # capacity is the FULL k_cap — the padding row absorbs delta
+            assert c == min(end[ti] - start[ti], k_cap)
+            # live slots hold exactly the nearest c entries of the tile
+            live = np.asarray(win[ti])[d:d + c]
+            np.testing.assert_array_equal(
+                live, np.asarray(keys)[start[ti]:start[ti] + c])
+            # window start is 128-aligned w.r.t. the key array
+            if end[ti] > start[ti]:
+                assert (start[ti] - d) % 128 == 0
+
+    def test_unaligned_fallback(self):
+        """K not a multiple of 128 -> per-element path, delta == 0."""
+        e, t, k_cap, nbits = 1000, 5, 48, 8
+        rng = np.random.default_rng(1)
+        tiles = np.sort(rng.integers(0, t, e)).astype(np.uint32)
+        keys = jnp.asarray(np.sort((tiles << nbits)
+                                   | rng.integers(0, 256, e).astype(np.uint32)))
+        boundaries = jnp.arange(t + 1, dtype=jnp.uint32) << nbits
+        win, delta, count, full_count = binning._windows(keys, boundaries,
+                                                         k_cap)
+        assert int(jnp.max(delta)) == 0
+        start, end = self._brute(keys, boundaries, k_cap)
+        for ti in range(t):
+            c = int(count[ti])
+            assert c == min(end[ti] - start[ti], k_cap)
+            np.testing.assert_array_equal(
+                np.asarray(win[ti])[:c],
+                np.asarray(keys)[start[ti]:start[ti] + c])
+
+
+class TestTilePairCull:
+    def test_keep_iff_floor_reachable_on_integer_pixels(self):
+        """The analytic box-min decision must never drop a pair whose
+        per-pixel alpha (the blend kernel's test, at integer coords)
+        reaches the floor anywhere in the tile."""
+        rng = np.random.default_rng(7)
+        s = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                           tile=16)
+        n = 400
+        mean2d = rng.uniform(-20, 84, (n, 2)).astype(np.float32)
+        # random PSD conics with varied anisotropy
+        a = rng.uniform(0.01, 1.0, n)
+        c = rng.uniform(0.01, 1.0, n)
+        b = rng.uniform(-1, 1, n) * np.sqrt(a * c) * 0.9
+        conic = np.stack([a, b, c], -1).astype(np.float32)
+        op = rng.uniform(1 / 255.0, 1.0, n).astype(np.float32)
+        q_cap = 2.0 * np.log(op * 255.0)
+
+        tx = rng.integers(0, s.tiles_x, (n, 4)).astype(np.int32)
+        ty = rng.integers(0, s.tiles_y, (n, 4)).astype(np.int32)
+        keep = np.asarray(binning._tile_pair_keep(
+            jnp.asarray(mean2d), jnp.asarray(conic), jnp.asarray(q_cap),
+            jnp.asarray(tx), jnp.asarray(ty), s))
+
+        # brute force: max alpha over the tile's integer pixels (float64)
+        gx, gy = np.meshgrid(np.arange(s.tile), np.arange(s.tile),
+                             indexing="xy")
+        n_drop_checked = 0
+        for i in range(n):
+            for d in range(4):
+                px = (tx[i, d] * s.tile + gx).astype(np.float64)
+                py = (ty[i, d] * s.tile + gy).astype(np.float64)
+                dx = mean2d[i, 0] - px
+                dy = mean2d[i, 1] - py
+                q = (conic[i, 0] * dx * dx + 2 * conic[i, 1] * dx * dy
+                     + conic[i, 2] * dy * dy)
+                alpha_max = op[i] * np.exp(-0.5 * q.min())
+                if alpha_max >= 1 / 255.0:
+                    assert keep[i, d], (i, d, alpha_max)
+                elif not keep[i, d]:
+                    n_drop_checked += 1
+        assert n_drop_checked > 50  # the cull actually drops things
+
+    def test_tight_binning_image_exact(self):
+        """End-to-end: tight_binning on/off produce the same image."""
+        import sys
+        sys.path.insert(0, "tests")
+        from tests.test_splat import make_scene, run_both
+        rng = np.random.default_rng(11)
+        base = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                              max_per_tile=256, max_tiles_per_gaussian=32)
+        means, scales, rots, ops, colors = make_scene(400, rng)
+        imgs = {}
+        for tight in (True, False):
+            st = dataclasses.replace(base, tight_binning=tight)
+            img, *_ = run_both(st, means, scales, rots, ops, colors)
+            imgs[tight] = img
+        np.testing.assert_allclose(imgs[True], imgs[False], atol=1e-6)
