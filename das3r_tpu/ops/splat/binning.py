@@ -64,34 +64,100 @@ def gids(bins: TileBins) -> jax.Array:
     return bins.order[bins.rank]
 
 
-def _pad128(keys: jax.Array, sentinel) -> jax.Array:
-    """Pad a 1-D key array to a multiple of 128 with the sentinel (done
-    BEFORE the sort so the pad costs no extra pass — sentinels sort last)."""
+def _pad128(keys: jax.Array, sentinel, extra: int = 0) -> jax.Array:
+    """Pad a 1-D key array with ``extra`` sentinels then up to a multiple
+    of 128 (done BEFORE the sort so the pad costs no extra pass —
+    sentinels sort last). ``extra`` = window capacity lets window reads at
+    any start stay in bounds without clamping."""
     e = keys.shape[0]
-    pad = (-e) % 128
+    pad = extra + (-(e + extra)) % 128
     if pad:
         keys = jnp.concatenate(
             [keys, jnp.full((pad,), sentinel, keys.dtype)])
     return keys
 
 
-def _windows(sorted_keys: jax.Array, boundaries: jax.Array, k_cap: int):
-    """Cut per-tile windows from a sorted key array.
+def _extract_windows_pallas(sorted_keys: jax.Array, start: jax.Array,
+                            k_cap: int) -> jax.Array:
+    """[T, K] windows at EXACT (element-granular) starts via per-tile DMA.
 
-    ``boundaries`` are the T+1 key values delimiting tiles. When K and the
-    array length are 128-aligned, windows start at the previous multiple of
-    128 and extraction is a whole-row gather of K + 128 entries — one
-    extra row, so the up-to-127 foreign leading entries (``delta``) never
-    eat into the K-capacity truncation policy (count stays
-    min(full_count, K) exactly like the unaligned path). Returns
-    (win [T, K or K+128], delta, count, full_count)."""
+    The sorted key array carries >= K trailing sentinels (``_pad128``'s
+    ``extra``), so ``start + K`` is always in bounds. The grid runs
+    sequentially over tiles with double-buffered copies: tile t's window
+    DMA was issued during tile t-1's step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_tiles = start.shape[0]
+
+    def kernel(start_ref, keys_ref, out_ref, buf, sems):
+        t = pl.program_id(0)
+
+        def dma(slot, ti):
+            return pltpu.make_async_copy(
+                keys_ref.at[pl.ds(start_ref[ti], k_cap)],
+                buf.at[slot], sems.at[slot])
+
+        @pl.when(t == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(t + 1 < t_tiles)
+        def _():
+            dma((t + 1) % 2, t + 1).start()
+
+        dma(t % 2, t).wait()
+        out_ref[...] = buf[t % 2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((None, k_cap), lambda t, s: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, k_cap), sorted_keys.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, k_cap), sorted_keys.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(start.astype(jnp.int32), sorted_keys)
+
+
+def _windows(sorted_keys: jax.Array, boundaries: jax.Array, k_cap: int,
+             use_dma: bool = True):
+    """Cut per-tile [start, start + K) windows from a sorted key array.
+
+    ``boundaries`` are the T+1 key values delimiting tiles. Three
+    implementations, all with identical semantics (count =
+    min(full_count, K) nearest entries):
+
+      * DMA path (TPU default): a Pallas kernel copies each window at its
+        EXACT element offset (double-buffered per-tile DMAs) — the array
+        carries >= K trailing sentinels so no clamping is needed;
+        ``delta`` is 0.
+      * aligned row-gather (``use_dma=False``): windows start at the
+        previous multiple of 128 and extraction is a whole-row gather of
+        K + 128 entries; the up-to-127 foreign leading entries are
+        reported in ``delta`` and masked by the blend kernels.
+      * per-element gather: exact starts via XLA gather (small K / CPU).
+
+    Returns (win [T, K or K+128], delta, count, full_count)."""
     e = sorted_keys.shape[0]
     bounds = jnp.searchsorted(sorted_keys, boundaries, side="left")
     start, end = bounds[:-1], bounds[1:]
     full_count = (end - start).astype(jnp.int32)
     t = start.shape[0]
     k_pad = k_cap + 128
-    if k_cap % 128 == 0 and e % 128 == 0 and e >= k_pad:
+    aligned_ok = k_cap % 128 == 0 and e % 128 == 0 and e >= k_pad
+    if aligned_ok and use_dma and jax.default_backend() == "tpu":
+        delta = jnp.zeros((t,), jnp.int32)
+        win = _extract_windows_pallas(sorted_keys, start, k_cap)
+    elif aligned_ok and not use_dma:
         start_al = jnp.minimum((start // 128) * 128, e - k_pad)
         delta = jnp.where(full_count > 0,
                           (start - start_al).astype(jnp.int32), 0)
@@ -238,10 +304,12 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
         buf_key = jnp.full((e_cap + 1,), sentinel).at[pos].set(
             jnp.where(in_buf, packed, sentinel).reshape(-1),
             unique_indices=True)[:-1]
-        sorted_packed = jax.lax.sort(_pad128(buf_key, sentinel), dimension=0)
+        sorted_packed = jax.lax.sort(
+            _pad128(buf_key, sentinel, extra=s.max_per_tile), dimension=0)
     elif packable:
         sorted_packed = jax.lax.sort(
-            _pad128(packed.reshape(-1), sentinel), dimension=0)
+            _pad128(packed.reshape(-1), sentinel, extra=s.max_per_tile),
+            dimension=0)
     else:
         flat_rank = jax.lax.broadcasted_iota(
             jnp.int32, (n, d_cap), 0).reshape(-1)
@@ -251,7 +319,8 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
 
     if packable:
         win, delta, count, full_count = _windows(
-            sorted_packed, boundaries, s.max_per_tile)
+            sorted_packed, boundaries, s.max_per_tile,
+            use_dma=s.use_dma_windows)
         rank = jnp.minimum((win & mask).astype(jnp.int32), n - 1)
     else:
         tile_ids = jnp.arange(s.n_tiles + 1, dtype=jnp.int32)

@@ -62,6 +62,13 @@ class RasterSettings:
     # The reported per-Gaussian ``radius`` (densify stats / visibility)
     # stays the reference's 3-sigma value. False = reference rect binning.
     tight_binning: bool = True
+    # Window extraction backend on TPU: True = Pallas per-tile DMA at exact
+    # element offsets (windows are [start, start+K), delta always 0);
+    # False = 128-aligned whole-row gather with K+128 padded windows and a
+    # per-tile ``delta`` of foreign leading entries. Identical semantics
+    # (binning._windows); the DMA path keeps every downstream array at
+    # K width.
+    use_dma_windows: bool = True
 
     @property
     def tiles_x(self) -> int:

@@ -21,30 +21,50 @@ class TestAlignedWindows:
         return b[:-1], b[1:]
 
     @pytest.mark.parametrize("seed", [0, 3])
-    def test_aligned_equals_unaligned_content(self, seed):
+    @pytest.mark.parametrize("impl", ["aligned", "dma", "element"])
+    def test_all_impls_agree_with_brute_force(self, seed, impl):
         rng = np.random.default_rng(seed)
-        e, t, k_cap = 128 * 40, 17, 128
+        t, k_cap = 17, 128
+        e = 128 * 40 - k_cap        # sentinel pad brings it back to %128
         nbits = 8
         tiles = np.sort(rng.integers(0, t, e)).astype(np.uint32)
         ranks = rng.integers(0, 2**nbits, e).astype(np.uint32)
+        sentinel = np.uint32(((t + 1) << nbits) - 1)
         keys = jnp.asarray(np.sort((tiles << nbits) | ranks))
+        keys = binning._pad128(keys, sentinel, extra=k_cap)
         boundaries = jnp.arange(t + 1, dtype=jnp.uint32) << nbits
 
-        win, delta, count, full_count = binning._windows(keys, boundaries,
-                                                         k_cap)
-        assert win.shape[1] == k_cap + 128   # one extra row of headroom
+        if impl == "dma":
+            # interpret-mode run of the TPU kernel (backend-gated inside
+            # _windows, so call it directly)
+            bounds = np.searchsorted(np.asarray(keys),
+                                     np.asarray(boundaries), side="left")
+            win = binning._extract_windows_pallas(
+                keys, jnp.asarray(bounds[:-1], jnp.int32), k_cap)
+            delta = jnp.zeros((t,), jnp.int32)
+            full_count = jnp.asarray(bounds[1:] - bounds[:-1], jnp.int32)
+            count = jnp.minimum(full_count, k_cap)
+        else:
+            win, delta, count, full_count = binning._windows(
+                keys, boundaries, k_cap, use_dma=False)
+            if impl == "element":
+                # force the per-element path via a non-128 K
+                win2, d2, c2, f2 = binning._windows(keys, boundaries,
+                                                    k_cap + 1, use_dma=False)
+                assert int(jnp.max(d2)) == 0
+        if impl == "aligned":
+            assert win.shape[1] == k_cap + 128   # headroom row
         start, end = self._brute(keys, boundaries, k_cap)
         np.testing.assert_array_equal(np.asarray(full_count), end - start)
         for ti in range(t):
             d, c = int(delta[ti]), int(count[ti])
-            # capacity is the FULL k_cap — the padding row absorbs delta
+            # capacity is the FULL k_cap in every implementation
             assert c == min(end[ti] - start[ti], k_cap)
             # live slots hold exactly the nearest c entries of the tile
             live = np.asarray(win[ti])[d:d + c]
             np.testing.assert_array_equal(
                 live, np.asarray(keys)[start[ti]:start[ti] + c])
-            # window start is 128-aligned w.r.t. the key array
-            if end[ti] > start[ti]:
+            if impl == "aligned" and end[ti] > start[ti]:
                 assert (start[ti] - d) % 128 == 0
 
     def test_unaligned_fallback(self):
