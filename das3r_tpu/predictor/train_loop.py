@@ -205,4 +205,5 @@ def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
 
     _save_ckpt(os.path.join(loop_cfg.out_dir, "checkpoint-final.npz"),
                train_p, opt, loop_cfg.epochs, best, best_pose_ate)
+    tblog.close(tb)
     return training.merge_params(train_p, frozen_p), history

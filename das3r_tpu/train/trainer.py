@@ -201,6 +201,9 @@ def train_scene(
         return state, meta, stacked
 
     profiling = False
+    todo = [c for c in chunks if c[0] + len(c[1]) > first_iter]
+    profile_at = (todo[1][0] if len(todo) > 1 else
+                  todo[0][0] if todo else None)  # 2nd chunk (1st compiles)
     for start, uids in chunks:
         end = start + len(uids)
         if end <= first_iter:
@@ -210,8 +213,10 @@ def train_scene(
             settings = dataclasses.replace(settings, sh_degree=sh_degree)
 
         track_stats = densify and end <= cfg.densify_until_iter
-        if profile_dir is not None and not profiling and start > first_iter:
-            # trace the SECOND chunk (first one carries compilation)
+        if (profile_dir is not None and not profiling
+                and start == profile_at):
+            # trace the SECOND pending chunk (the first one carries
+            # compilation); single-chunk runs trace that one chunk
             jax.profiler.start_trace(profile_dir)
             profiling = True
         state, meta, metrics = run_chunk(state, meta, uids, settings,
@@ -448,6 +453,20 @@ def main(argv=None):
 
     ckpt.save_pose_npy(os.path.join(args.model_path, "pose", "pose_org.npy"),
                        bundle.poses)
+    tb_writer = tblog.make_writer(os.path.join(args.model_path, "tb")
+                                  if args.tensorboard else None)
+    try:
+        result = _run_training(args, bundle, cfg, test_iters, save_iters,
+                               tb_writer)
+    finally:
+        tblog.close(tb_writer)
+    print(f"done: loss {result.last_loss:.5f} "
+          f"iters/s {result.iters_per_sec:.2f} "
+          f"test_psnr {result.test_psnr}")
+    return result
+
+
+def _run_training(args, bundle, cfg, test_iters, save_iters, tb_writer):
     result = train_scene(
         bundle, cfg, model_path=args.model_path,
         white_background=args.white_background,
@@ -460,12 +479,7 @@ def main(argv=None):
         densify_split=args.densify_split,
         start_checkpoint=args.start_checkpoint,
         profile_dir=args.profile,
-        tb_writer=tblog.make_writer(
-            os.path.join(args.model_path, "tb")
-            if args.tensorboard else None))
-    print(f"done: loss {result.last_loss:.5f} "
-          f"iters/s {result.iters_per_sec:.2f} "
-          f"test_psnr {result.test_psnr}")
+        tb_writer=tb_writer)
     return result
 
 

@@ -29,3 +29,11 @@ def scalars(writer, step: int, **values) -> None:
     for k, v in values.items():
         if v is not None:
             writer.add_scalar(k.replace("__", "/"), float(v), step)
+
+
+def close(writer) -> None:
+    """Flush + close (tensorboard buffers scalars on a daemon thread with a
+    2-minute flush interval — without this, short runs lose everything)."""
+    if writer is not None:
+        writer.flush()
+        writer.close()

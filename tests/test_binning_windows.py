@@ -145,3 +145,65 @@ class TestTilePairCull:
             img, *_ = run_both(st, means, scales, rots, ops, colors)
             imgs[tight] = img
         np.testing.assert_allclose(imgs[True], imgs[False], atol=1e-6)
+
+
+class TestDeltaWindowsEndToEnd:
+    def test_aligned_delta_path_image_and_grads_exact(self):
+        """use_dma_windows=False routes the aligned K+128 windows with
+        delta>0 through both blend implementations — images and gradients
+        must equal the exact-start default path."""
+        import functools
+        import sys
+        sys.path.insert(0, "tests")
+        from tests.test_splat import make_camera, make_scene
+        from das3r_tpu.ops.splat import rasterize
+
+        rng = np.random.default_rng(5)
+        means, scales, rots, ops, colors = make_scene(600, rng)
+        results = {}
+        for dma in (True, False):
+            for backend in ("pallas", "xla"):
+                s = RasterSettings(image_height=64, image_width=64,
+                                   sh_degree=0, max_per_tile=128,
+                                   max_tiles_per_gaussian=32,
+                                   use_dma_windows=dma)
+                view, proj, campos, tfx, tfy = make_camera(s)
+
+                def loss(ops_):
+                    img, _, _ = rasterize(
+                        jnp.asarray(means), ops_, s,
+                        viewmatrix=jnp.asarray(view),
+                        projmatrix=jnp.asarray(proj),
+                        campos=jnp.asarray(campos), bg=jnp.zeros(3),
+                        tan_fovx=tfx, tan_fovy=tfy,
+                        scales=jnp.asarray(scales),
+                        rotations=jnp.asarray(rots),
+                        colors_precomp=jnp.asarray(colors),
+                        backend=backend)
+                    return jnp.sum(img * img), img
+
+                (lv, img), g = jax.value_and_grad(
+                    loss, has_aux=True)(jnp.asarray(ops))
+                results[(dma, backend)] = (np.asarray(img), np.asarray(g))
+        # the delta>0 aligned path must bit-match the exact-start path
+        for backend in ("pallas", "xla"):
+            ref_img, ref_g = results[(True, backend)]
+            img, g = results[(False, backend)]
+            np.testing.assert_allclose(img, ref_img, atol=1e-6)
+            # grads reassociate across the two scatter layouts -> ulp-level
+            np.testing.assert_allclose(g, ref_g, rtol=1e-5, atol=1e-5)
+        # delta is actually exercised: on CPU use_dma=True falls to the
+        # per-element path; verify the aligned path saw nonzero deltas
+        from das3r_tpu.ops.splat.preprocess import preprocess
+        s = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                           max_per_tile=128, max_tiles_per_gaussian=32,
+                           use_dma_windows=False)
+        view, proj, campos, tfx, tfy = make_camera(s)
+        p = preprocess(
+            jnp.asarray(means), jnp.asarray(ops), s,
+            viewmatrix=jnp.asarray(view), projmatrix=jnp.asarray(proj),
+            campos=jnp.asarray(campos), colors_precomp=jnp.asarray(colors),
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            tan_fovx=tfx, tan_fovy=tfy)
+        bins = binning.bin_gaussians(p, s)
+        assert int(jnp.max(bins.delta)) > 0
