@@ -94,6 +94,17 @@ def main(argv=None):
             verbose=lambda *_: None)
 
     rearrange.rearrange_scene(stage1_dir, scene_dir)
+    # GT dynamic masks in the DAVIS layout (<root>/<seq>/00000.png) so the
+    # test PSNR is masked exactly per protocol (BASELINE.md: image and GT
+    # x (1 - gt_dynamic_mask), train_test_psnr.py:129-136)
+    from pathlib import Path
+    import shutil
+    seq = os.path.basename(os.path.normpath(scene_dir))
+    gt_mask_root = os.path.join(args.work, "gt_masks")
+    os.makedirs(os.path.join(gt_mask_root, seq), exist_ok=True)
+    for p in sorted(Path(stage1_dir).glob("dynamic_mask_*.png")):
+        i = int(p.stem.split("_")[-1])
+        shutil.copy(p, os.path.join(gt_mask_root, seq, f"{i:05d}.png"))
     t_stage1 = time.time() - t0
 
     t1 = time.time()
@@ -104,6 +115,7 @@ def main(argv=None):
         "--save_iterations", str(args.iters),
         "--log_every", "200",
         "--max_points", str(args.max_points),
+        "--gt_dynamic_mask", gt_mask_root, "--dataset", "davis",
     ])
     t_train = time.time() - t1
 
