@@ -20,12 +20,15 @@ TPU-first details that differ from the CUDA pipeline:
     depth rank; callers gather attributes from a depth-ordered table
     (``attr[order]``) so the expensive [T, K]-scale ``order[...]``
     composition gather never happens. ``order`` maps rank -> gaussian id.
-  * **128-aligned windows.** Each tile's window starts at the sort
-    position rounded DOWN to a multiple of 128, so window extraction is a
-    gather of whole 128-lane rows (near-bandwidth on TPU) instead of a
-    per-element gather. The ``delta`` leading entries of each window
-    belong to earlier tiles and must be masked by the consumer
-    (slots [delta, delta + count) are live).
+  * **DMA windows.** Each tile's window [start, start+K) is copied out
+    of the sorted key array by a tiny Pallas kernel with double-buffered
+    per-tile DMAs at exact element offsets (``_extract_windows_pallas``;
+    a per-element XLA gather of the same windows measures ~50x slower).
+    A 128-aligned whole-row-gather variant with K+128 padded windows and
+    a per-tile ``delta`` of foreign leading entries is kept behind
+    ``settings.use_dma_windows=False``; consumers must treat
+    [delta, delta + count) as the live slot range (delta is 0 on the DMA
+    and per-element paths).
   * **Exact per-pair tile culling** (``settings.tight_binning``): a
     (Gaussian, tile) pair is kept only if the minimum of the conic
     quadratic over the tile's pixel box reaches ``alpha >= 1/255``; pairs
