@@ -21,14 +21,15 @@ TPU-first details that differ from the CUDA pipeline:
     (``attr[order]``) so the expensive [T, K]-scale ``order[...]``
     composition gather never happens. ``order`` maps rank -> gaussian id.
   * **DMA windows.** Each tile's window [start, start+K) is copied out
-    of the sorted key array by a tiny Pallas kernel with double-buffered
-    per-tile DMAs at exact element offsets (``_extract_windows_pallas``;
-    a per-element XLA gather of the same windows measures ~50x slower).
-    A 128-aligned whole-row-gather variant with K+128 padded windows and
-    a per-tile ``delta`` of foreign leading entries is kept behind
-    ``settings.use_dma_windows=False``; consumers must treat
-    [delta, delta + count) as the live slot range (delta is 0 on the DMA
-    and per-element paths).
+    of the sorted key array by a tiny Pallas kernel: double-buffered
+    per-tile row DMAs at ``start // 128`` plus an in-kernel dynamic lane
+    rotate by ``start % 128`` (``_extract_windows_pallas`` — Mosaic cannot
+    DMA at arbitrary *element* offsets, but arbitrary *row* offsets on a
+    [E/128, 128] view lower fine). A 128-aligned whole-row-gather variant
+    with K+128 padded windows and a per-tile ``delta`` of foreign leading
+    entries is kept behind ``settings.use_dma_windows=False``; consumers
+    must treat [delta, delta + count) as the live slot range (delta is 0
+    on the DMA and per-element paths).
   * **Exact per-pair tile culling** (``settings.tight_binning``): a
     (Gaussian, tile) pair is kept only if the minimum of the conic
     quadratic over the tile's pixel box reaches ``alpha >= 1/255``; pairs
@@ -82,23 +83,35 @@ def _pad128(keys: jax.Array, sentinel, extra: int = 0) -> jax.Array:
 
 def _extract_windows_pallas(sorted_keys: jax.Array, start: jax.Array,
                             k_cap: int) -> jax.Array:
-    """[T, K] windows at EXACT (element-granular) starts via per-tile DMA.
+    """[T, K] windows at EXACT (element-granular) starts: row-DMA + rotate.
 
-    The sorted key array carries >= K trailing sentinels (``_pad128``'s
-    ``extra``), so ``start + K`` is always in bounds. The grid runs
-    sequentially over tiles with double-buffered copies: tile t's window
-    DMA was issued during tile t-1's step."""
+    Mosaic cannot DMA-slice an HBM ref at an arbitrary dynamic *element*
+    offset (the tile-divisibility proof fails on the minor dim), but an
+    arbitrary dynamic *row* offset on a [E/128, 128] view is fine. So each
+    tile copies the K/128 + 1 rows covering [start, start + K) into VMEM
+    (double-buffered: tile t's copy was issued during tile t-1's step) and
+    the kernel rotates lanes by ``delta = start % 128``, stitching row r
+    with row r+1 to realign the window to element granularity:
+
+        out[r, c] = buf[r + (c + delta) // 128, (c + delta) % 128]
+                  = where(c < 128 - delta, A[r], A[r + 1]),
+          A = roll(buf, -delta, lanes)
+
+    The sorted key array carries >= K + 128 trailing sentinels (``_pad128``
+    ``extra``), so the row read never leaves bounds."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     t_tiles = start.shape[0]
+    rows = k_cap // 128
+    keys2d = sorted_keys.reshape(-1, 128)
 
     def kernel(start_ref, keys_ref, out_ref, buf, sems):
         t = pl.program_id(0)
 
         def dma(slot, ti):
             return pltpu.make_async_copy(
-                keys_ref.at[pl.ds(start_ref[ti], k_cap)],
+                keys_ref.at[pl.ds(start_ref[ti] // 128, rows + 1)],
                 buf.at[slot], sems.at[slot])
 
         @pl.when(t == 0)
@@ -110,25 +123,30 @@ def _extract_windows_pallas(sorted_keys: jax.Array, start: jax.Array,
             dma((t + 1) % 2, t + 1).start()
 
         dma(t % 2, t).wait()
-        out_ref[...] = buf[t % 2]
+        delta = start_ref[t] % 128
+        a = pltpu.roll(buf[t % 2], -delta, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        out_ref[...] = jnp.where(lane < 128 - delta, a[:rows], a[1:])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((None, k_cap), lambda t, s: (t, 0),
+        out_specs=pl.BlockSpec((None, rows, 128), lambda t, s: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, k_cap), sorted_keys.dtype),
+            pltpu.VMEM((2, rows + 1, 128), sorted_keys.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_tiles, k_cap), sorted_keys.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_tiles, rows, 128),
+                                       sorted_keys.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(start.astype(jnp.int32), sorted_keys)
+    )(start.astype(jnp.int32), keys2d)
+    return out.reshape(t_tiles, k_cap)
 
 
 def _windows(sorted_keys: jax.Array, boundaries: jax.Array, k_cap: int,
@@ -139,10 +157,10 @@ def _windows(sorted_keys: jax.Array, boundaries: jax.Array, k_cap: int,
     implementations, all with identical semantics (count =
     min(full_count, K) nearest entries):
 
-      * DMA path (TPU default): a Pallas kernel copies each window at its
-        EXACT element offset (double-buffered per-tile DMAs) — the array
-        carries >= K trailing sentinels so no clamping is needed;
-        ``delta`` is 0.
+      * DMA path (TPU default): a Pallas kernel row-DMAs each window's
+        128-row span and lane-rotates it to the EXACT element offset — the
+        array carries >= K + 128 trailing sentinels so no clamping is
+        needed; ``delta`` is 0.
       * aligned row-gather (``use_dma=False``): windows start at the
         previous multiple of 128 and extraction is a whole-row gather of
         K + 128 entries; the up-to-127 foreign leading entries are
@@ -308,10 +326,10 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
             jnp.where(in_buf, packed, sentinel).reshape(-1),
             unique_indices=True)[:-1]
         sorted_packed = jax.lax.sort(
-            _pad128(buf_key, sentinel, extra=s.max_per_tile), dimension=0)
+            _pad128(buf_key, sentinel, extra=s.max_per_tile + 128), dimension=0)
     elif packable:
         sorted_packed = jax.lax.sort(
-            _pad128(packed.reshape(-1), sentinel, extra=s.max_per_tile),
+            _pad128(packed.reshape(-1), sentinel, extra=s.max_per_tile + 128),
             dimension=0)
     else:
         flat_rank = jax.lax.broadcasted_iota(
