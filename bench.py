@@ -28,12 +28,22 @@ def main():
     from das3r_tpu.ops.splat import RasterSettings
     from das3r_tpu.train import loss as loss_mod
 
+    from das3r_tpu.models import autosize
+
     settings = RasterSettings(
         image_height=HEIGHT, image_width=WIDTH, sh_degree=3,
         max_per_tile=1024, max_tiles_per_gaussian=32,
         max_total_entries=8 * N_GAUSSIANS)
     params, meta, poses = random_gaussian_scene(
         n=N_GAUSSIANS, n_frames=2, height=HEIGHT, width=WIDTH, seed=0)
+    # the trainer's default per-scene capacity probe (scene_setup.py):
+    # sizes the entry stream from measured occupancy; the stream path is
+    # EXACT (no per-tile truncation, unlike the round-1 [T, K] config)
+    import dataclasses
+    settings = dataclasses.replace(
+        settings, max_total_entries=autosize.auto_entry_cap(
+            params, meta, settings, poses.all_poses(),
+            jnp.asarray(1.0), jnp.asarray(1.0)))
     bg = jnp.zeros(3)
     fov = jnp.asarray(1.0, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH))

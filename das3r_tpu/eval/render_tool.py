@@ -6,6 +6,7 @@ poses are used verbatim, render.py:35-42).
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 from pathlib import Path
 
@@ -96,6 +97,12 @@ def render_sets(source_path: str, model_path: str, iteration: int,
         image_height=data.height, image_width=data.width,
         sh_degree=sh_degree, max_per_tile=max_per_tile,
         max_tiles_per_gaussian=32)
+    from das3r_tpu.models import autosize
+    settings = dataclasses.replace(
+        settings, max_total_entries=autosize.auto_entry_cap(
+            params, meta, settings, pose7,
+            jnp.asarray(data.fovx[0]), jnp.asarray(data.fovy[0]),
+            margin=1.1, mode=mode if mode != "test" else "no_soft"))
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
 
     out_dir = Path(model_path) / f"renders_{iteration}"

@@ -1,0 +1,69 @@
+"""Per-scene static-capacity probing.
+
+XLA needs every shape at trace time, so the rasterizer's entry capacity
+(``RasterSettings.max_total_entries``) is a compile-time constant — but the
+right value is scene-dependent: per-tile occupancy is heavily skewed and
+total (Gaussian, tile) pair counts vary ~10x between scenes. The CUDA
+reference sizes its buffers dynamically per frame
+(diff-gaussian-rasterization's ``resizeFunctional`` growth callback); the
+TPU-native equivalent is ONE cheap probe render per scene before the first
+jit of the train step, picking the capacity from measured occupancy plus a
+margin (Gaussians move during training; overflow is reported via
+``RasterAux.entry_overflow``, dropping farthest entries only).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from das3r_tpu.ops.splat import RasterSettings
+
+
+def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
+                      fovx, fovy, mode: str = "train",
+                      max_views: int = 8):
+    """(max total entries, max per-tile count) over sampled views.
+
+    ``poses7``: [F, 7] pose array; up to ``max_views`` evenly-spaced views
+    are rendered with a throwaway 128-capacity config (counts come from the
+    pre-truncation binning telemetry, so the tiny capacity is free)."""
+    from das3r_tpu.models import render as render_mod
+
+    probe_settings = dataclasses.replace(
+        settings, max_per_tile=128, entry_stream=False)
+    poses7 = jnp.asarray(poses7)
+    f = poses7.shape[0]
+    if f > max_views:
+        idx = jnp.linspace(0, f - 1, max_views).astype(jnp.int32)
+        poses7 = poses7[idx]
+
+    @jax.jit
+    def run(stacked):
+        def body(carry, pose7):
+            mx_total, mx_tile = carry
+            out = render_mod.render(params, meta, probe_settings, pose7,
+                                    jnp.zeros(3), fovx, fovy, mode=mode)
+            fc = out.aux.n_contrib_tiles
+            aligned = jnp.sum(((fc + 127) // 128) * 128)
+            return (jnp.maximum(mx_total, aligned),
+                    jnp.maximum(mx_tile, jnp.max(fc))), ()
+        (mx_total, mx_tile), _ = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0)), stacked)
+        return mx_total, mx_tile
+
+    mx_total, mx_tile = run(poses7)
+    return int(mx_total), int(mx_tile)
+
+
+def auto_entry_cap(params, meta, settings: RasterSettings, poses7,
+                   fovx, fovy, margin: float = 1.2,
+                   mode: str = "train") -> int:
+    """``max_total_entries`` for this scene: measured peak ALIGNED entry
+    total (128-chunk padding included) x margin, rounded up to the stream
+    block (1024), floored at 8 blocks."""
+    mx_total, _ = probe_entry_stats(params, meta, settings, poses7,
+                                    fovx, fovy, mode=mode)
+    cap = max(int(mx_total * margin), 8 * 1024)
+    return -(-cap // 1024) * 1024

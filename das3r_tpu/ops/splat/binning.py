@@ -236,16 +236,29 @@ def _tile_pair_keep(prep_sorted_mean2d, prep_sorted_conic, q_cap_sorted,
     return q_min <= q_cap_sorted[:, None] + 1e-3
 
 
-def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
+class SortedKeyStream(NamedTuple):
+    """Result of the shared dup-table + sort stage (packable path only)."""
+    sorted_packed: jax.Array   # [E_sort] uint32, (tile << nbits | rank) keys
+    order: jax.Array           # [N] int32 depth rank -> gaussian index
+    boundaries: jax.Array      # [T + 1] uint32 key values delimiting tiles
+    nbits: int                 # rank bit width; rank = key & (2^nbits - 1)
+    sentinel: jax.Array        # uint32 sentinel key (sorts last)
+    dup_overflow: jax.Array
+    entry_overflow: jax.Array
+
+
+def _sorted_key_stream(prep: Preprocessed,
+                       settings: RasterSettings) -> SortedKeyStream | None:
+    """Duplication table -> packed self-describing keys -> one sort.
+
+    Returns None when (n_tiles + 1) << nbits exceeds 32 bits (callers fall
+    back to the pair-sort path)."""
     s = settings
     n = prep.depth.shape[0]
     d_cap = s.max_tiles_per_gaussian
-
-    use_qdepth = (
-        s.depth_sort_bits > 0
-        and (s.n_tiles + 1) << s.depth_sort_bits <= 2**32)
-    if use_qdepth:
-        return _bin_quantized_depth(prep, settings)
+    nbits = max(int(n - 1).bit_length(), 1)
+    if (s.n_tiles + 1) << nbits > 2**32:
+        return None
 
     alive = prep.binnable
     # Global front-to-back order; stable so equal depths keep input order
@@ -296,18 +309,14 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     # depth rank because rows were re-indexed into depth order above.)
     # The key is SELF-DESCRIBING — rank = key & (2^nbits - 1) — so the sort
     # carries NO payload and the windows directly yield depth ranks.
-    nbits = max(int(n - 1).bit_length(), 1)
-    packable = (s.n_tiles + 1) << nbits <= 2**32
-    if packable:
-        rank_iota = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
-        packed = (tile.astype(jnp.uint32) << nbits) | rank_iota
-        sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
-        boundaries = (jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits)
-        mask = jnp.uint32((1 << nbits) - 1)
+    rank_iota = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
+    packed = (tile.astype(jnp.uint32) << nbits) | rank_iota
+    sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
+    boundaries = (jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits)
 
     use_compact = (s.max_total_entries is not None
                    and n * d_cap > s.full_sort_below)
-    if packable and use_compact:
+    if use_compact:
         # Compact the (mostly padding) N*D table into a dense buffer before
         # sorting: at production scale the 4B*N*D table's memory argues for
         # it. Entries beyond the cap belong to the FARTHEST Gaussians (rows
@@ -327,35 +336,246 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
             unique_indices=True)[:-1]
         sorted_packed = jax.lax.sort(
             _pad128(buf_key, sentinel, extra=s.max_per_tile + 128), dimension=0)
-    elif packable:
+    else:
         sorted_packed = jax.lax.sort(
             _pad128(packed.reshape(-1), sentinel, extra=s.max_per_tile + 128),
             dimension=0)
-    else:
-        flat_rank = jax.lax.broadcasted_iota(
-            jnp.int32, (n, d_cap), 0).reshape(-1)
-        sorted_tile_arr, sorted_rank = jax.lax.sort(
-            (tile.reshape(-1), flat_rank), dimension=0, is_stable=True,
-            num_keys=1)
+    return SortedKeyStream(sorted_packed=sorted_packed, order=order,
+                           boundaries=boundaries, nbits=nbits,
+                           sentinel=sentinel, dup_overflow=dup_overflow,
+                           entry_overflow=entry_overflow)
 
-    if packable:
+
+def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
+    s = settings
+    n = prep.depth.shape[0]
+    d_cap = s.max_tiles_per_gaussian
+
+    use_qdepth = (
+        s.depth_sort_bits > 0
+        and (s.n_tiles + 1) << s.depth_sort_bits <= 2**32)
+    if use_qdepth:
+        return _bin_quantized_depth(prep, settings)
+
+    ks = _sorted_key_stream(prep, settings)
+    if ks is not None:
+        mask = jnp.uint32((1 << ks.nbits) - 1)
         win, delta, count, full_count = _windows(
-            sorted_packed, boundaries, s.max_per_tile,
+            ks.sorted_packed, ks.boundaries, s.max_per_tile,
             use_dma=s.use_dma_windows)
         rank = jnp.minimum((win & mask).astype(jnp.int32), n - 1)
-    else:
-        tile_ids = jnp.arange(s.n_tiles + 1, dtype=jnp.int32)
-        bounds = jnp.searchsorted(sorted_tile_arr, tile_ids, side="left")
-        start, end = bounds[:-1], bounds[1:]
-        full_count = (end - start).astype(jnp.int32)
-        count = jnp.minimum(full_count, s.max_per_tile)
-        delta = jnp.zeros((s.n_tiles,), jnp.int32)
-        slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]
-        gather_idx = jnp.clip(start[:, None] + slot, 0, n * d_cap - 1)
-        rank = jnp.minimum(sorted_rank[gather_idx], n - 1)
+        return TileBins(rank=rank, delta=delta, order=ks.order, count=count,
+                        full_count=full_count, dup_overflow=ks.dup_overflow,
+                        entry_overflow=ks.entry_overflow)
+
+    # Fallback for key spaces over 32 bits: stable (tile, rank) pair sort.
+    alive = prep.binnable
+    sort_depth = jnp.where(alive, prep.depth, jnp.inf)
+    order = jnp.argsort(sort_depth, stable=True).astype(jnp.int32)
+    rect_min = prep.rect_min[order]
+    rect_max = prep.rect_max[order]
+    alive_sorted = alive[order]
+    width = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    ntt = jnp.where(alive_sorted,
+                    jnp.minimum(prep.n_tiles_touched[order], d_cap), 0)
+    dup_overflow = jnp.sum(
+        (prep.n_tiles_touched > d_cap).astype(jnp.int32))
+    d_idx = jnp.arange(d_cap, dtype=jnp.int32)[None, :]
+    row = ((d_idx.astype(jnp.float32) + 0.5)
+           / width[:, None].astype(jnp.float32)).astype(jnp.int32)
+    col = d_idx - row * width[:, None]
+    ty = rect_min[:, 1:2] + row
+    tx = rect_min[:, 0:1] + col
+    tile = ty * s.tiles_x + tx
+    dup_valid = alive_sorted[:, None] & (d_idx < ntt[:, None])
+    if s.tight_binning:
+        dup_valid = dup_valid & _tile_pair_keep(
+            jax.lax.stop_gradient(prep.mean2d)[order],
+            prep.conic[order], prep.q_cap[order], tx, ty, s)
+    tile = jnp.where(dup_valid, tile, s.n_tiles).astype(jnp.int32)
+    flat_rank = jax.lax.broadcasted_iota(
+        jnp.int32, (n, d_cap), 0).reshape(-1)
+    sorted_tile_arr, sorted_rank = jax.lax.sort(
+        (tile.reshape(-1), flat_rank), dimension=0, is_stable=True,
+        num_keys=1)
+    tile_ids = jnp.arange(s.n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_tile_arr, tile_ids, side="left")
+    start, end = bounds[:-1], bounds[1:]
+    full_count = (end - start).astype(jnp.int32)
+    count = jnp.minimum(full_count, s.max_per_tile)
+    delta = jnp.zeros((s.n_tiles,), jnp.int32)
+    slot = jnp.arange(s.max_per_tile, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(start[:, None] + slot, 0, n * d_cap - 1)
+    rank = jnp.minimum(sorted_rank[gather_idx], n - 1)
     return TileBins(rank=rank, delta=delta, order=order, count=count,
                     full_count=full_count, dup_overflow=dup_overflow,
-                    entry_overflow=entry_overflow)
+                    entry_overflow=jnp.zeros((), jnp.int32))
+
+
+class EntryStream(NamedTuple):
+    """128-aligned variable-length per-tile entry stream (no K cap).
+
+    The sorted (tile-major, depth-minor) entry sequence is laid out with
+    each tile's segment starting at a 128-multiple, so every 128-chunk
+    belongs to exactly ONE tile — the entry-stream blend kernels walk the
+    chunks sequentially, carrying per-tile pixel state across chunk
+    boundaries, with NO per-tile capacity and therefore NO truncation
+    (the CUDA reference's exact semantics; SURVEY.md §2.9). Work scales
+    with the actual entry count, not tiles x max-occupancy."""
+    rank: jax.Array        # [E_al] int32 depth rank per slot; n on pad slots
+    chunk_tile: jax.Array  # [E_al/128] int32 owning tile (n_tiles when void)
+    order: jax.Array       # [N] int32 depth rank -> gaussian index
+    count: jax.Array       # [T] int32 live entries per tile (uncapped)
+    dup_overflow: jax.Array
+    entry_overflow: jax.Array
+
+
+def entry_stream_supported(n: int, settings: RasterSettings) -> bool:
+    """Static predicate: the entry-stream path needs the packable
+    single-key sort and a set ``max_total_entries`` (it sizes the static
+    stream — an unbounded N * D stream would be a memory hazard)."""
+    nbits = max(int(n - 1).bit_length(), 1)
+    return (settings.max_total_entries is not None
+            and (settings.n_tiles + 1) << nbits <= 2**32)
+
+
+def entry_stream_cap(settings: RasterSettings, n: int) -> int:
+    """Static aligned-stream capacity: ``max_total_entries`` rounded to the
+    kernel block size (the per-scene probe in models/autosize.py already
+    measures the ALIGNED total, padding included; tiles crossing the cap
+    lose their tail with entry_overflow telemetry)."""
+    s = settings
+    e = n * s.max_tiles_per_gaussian + 128 * s.n_tiles
+    if s.max_total_entries is not None:
+        e = min(e, s.max_total_entries)
+    return -(-e // 1024) * 1024
+
+
+def _extract_chunks_pallas(keys2d: jax.Array, src_row: jax.Array,
+                           delta: jax.Array) -> jax.Array:
+    """[n_chunks, 128] stream chunks: chunk c = 128 sorted keys starting at
+    element ``src_row[c] * 128 + delta[c]`` (``delta`` < 128). Same row-DMA
+    + lane-rotate trick as ``_extract_windows_pallas`` but chunk-granular:
+    each grid step loads 8 chunks' 2-row spans (double-buffered against the
+    next step) and stitches them with a dynamic roll. An XLA per-element
+    gather of the same stream measured ~7 ms at 900k slots; this is ~bandwidth.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = src_row.shape[0]
+    assert n_chunks % 8 == 0, n_chunks
+    grid = n_chunks // 8
+
+    def kernel(src_ref, delta_ref, keys_ref, out_ref, buf, sems):
+        g = pl.program_id(0)
+
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                keys_ref.at[pl.ds(src_ref[c], 2)],
+                buf.at[slot, c % 8], sems.at[slot, c % 8])
+
+        @pl.when(g == 0)
+        def _():
+            for j in range(8):
+                dma(0, j).start()
+
+        @pl.when(g + 1 < grid)
+        def _():
+            for j in range(8):
+                dma((g + 1) % 2, (g + 1) * 8 + j).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+        for j in range(8):
+            c = g * 8 + j
+            dma(g % 2, c).wait()
+            d = delta_ref[c]
+            a = pltpu.roll(buf[g % 2, j], -d, 1)
+            out_ref[j, :] = jnp.where(lane < 128 - d, a, 0)[0, :] | \
+                jnp.where(lane >= 128 - d, a, 0)[1, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((8, 128), lambda g, s, d: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, 2, 128), keys2d.dtype),
+            pltpu.SemaphoreType.DMA((2, 8)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 128), keys2d.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(src_row.astype(jnp.int32), delta.astype(jnp.int32), keys2d)
+
+
+def bin_entry_stream(prep: Preprocessed,
+                     settings: RasterSettings) -> EntryStream:
+    s = settings
+    n = prep.depth.shape[0]
+    ks = _sorted_key_stream(prep, settings)
+    if ks is None:
+        raise ValueError(
+            "entry-stream binning needs (n_tiles + 1) << ceil(log2 N) to "
+            "fit 32 bits; use the [T, K] window path for this geometry")
+    e_al = entry_stream_cap(s, n)
+    keys = ks.sorted_packed
+
+    bounds = jnp.searchsorted(keys, ks.boundaries, side="left")
+    start, end = bounds[:-1], bounds[1:]
+    count_raw = (end - start).astype(jnp.int32)              # [T] uncapped
+    ccount = ((count_raw + 127) // 128) * 128
+    astart = jnp.cumsum(ccount) - ccount                     # [T]
+    total = astart[-1] + ccount[-1]
+    # Tiles whose aligned segment crosses the static stream capacity lose
+    # their tail (reported via entry_overflow) — the same farthest-first
+    # drop policy as the compact sort buffer.
+    count = jnp.clip(count_raw, 0, jnp.maximum(e_al - astart, 0))
+    stream_drop = jnp.sum(count_raw - count)
+
+    # Per-CHUNK owning tile, built with tile-scale ops only (a per-slot
+    # searchsorted over [e_al] queries measured ~80 ms on TPU): scatter
+    # each tile's id at its first chunk, then forward-fill with a running
+    # max. Tiles sharing a start chunk form an empty-then-nonempty run, so
+    # the max picks the owner (the one whose segment has width).
+    n_chunks = e_al // 128
+    first_chunk = jnp.minimum(astart // 128, n_chunks - 1)
+    # empty tiles scatter the neutral 0 (their astart may alias the clipped
+    # last chunk when the stream is full); chunk 0's owner is found anyway
+    # because the forward-fill starts at 0 and void chunks are masked below
+    tile_iota = jnp.arange(s.n_tiles, dtype=jnp.int32)
+    marks = jnp.zeros((n_chunks,), jnp.int32).at[first_chunk].max(
+        jnp.where(count > 0, tile_iota, 0))
+    owner = jax.lax.associative_scan(jnp.maximum, marks)     # [n_chunks]
+    chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    chunk_live = chunk_ids * 128 < total
+    chunk_tile = jnp.where(chunk_live, owner, s.n_tiles).astype(jnp.int32)
+
+    # Per-slot sorted-array source position: chunk c's 128 keys start at
+    # cbase[c] + c*128 (cbase = start - astart of the owning tile). The
+    # keys are pulled by a chunk-granular row-DMA + rotate kernel; only
+    # tile-scale and chunk-scale gathers remain (an XLA per-element gather
+    # here measured ~7 ms at 900k slots).
+    cbase = start[owner] - astart[owner]                     # [n_chunks]
+    ccount_b = count[owner]
+    coff = chunk_ids * 128 - astart[owner]                   # slot 0 offset
+    lane = jnp.arange(128, dtype=jnp.int32)[None, :]
+    off = coff[:, None] + lane                               # [n_chunks, 128]
+    live = chunk_live[:, None] & (off < ccount_b[:, None])
+    src0 = jnp.clip(cbase + chunk_ids * 128, 0, keys.shape[0] - 256)
+    win = _extract_chunks_pallas(keys.reshape(-1, 128),
+                                 src0 // 128, src0 % 128)    # [n_chunks, 128]
+    mask = jnp.uint32((1 << ks.nbits) - 1)
+    rank = jnp.where(live,
+                     jnp.minimum((win & mask).astype(jnp.int32), n - 1),
+                     n).reshape(-1)
+    return EntryStream(rank=rank, chunk_tile=chunk_tile, order=ks.order,
+                       count=count, dup_overflow=ks.dup_overflow,
+                       entry_overflow=ks.entry_overflow + stream_drop)
 
 
 def _bin_quantized_depth(prep: Preprocessed,

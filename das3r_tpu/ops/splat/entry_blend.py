@@ -1,0 +1,377 @@
+"""Entry-stream Pallas blend kernels: variable-length per-tile lists.
+
+The [T, K] window kernels (``pallas_blend.py``) pay for tiles x K slots
+even though per-tile occupancy is heavily skewed, and TRUNCATE tiles
+beyond K — a capacity semantics the CUDA reference does not have
+(diff-gaussian-rasterization keeps every (Gaussian, tile) pair;
+SURVEY.md §2.9). These kernels instead walk ``binning.bin_entry_stream``'s
+128-aligned entry stream: every 128-chunk belongs to exactly one tile, the
+sequential grid carries the current tile's pixel state (accumulated color,
+transmittance) in VMEM scratch across chunk boundaries, and a finished
+tile is flushed to HBM with a dynamic-row DMA. Work and memory scale with
+the ACTUAL entry count; there is no per-tile capacity at all.
+
+Forward outputs are bg-free: ``cpre`` (premultiplied color) and ``tfinal``
+(final transmittance); the caller composes ``cpre + tfinal * bg`` in XLA so
+background gradients ride ordinary autodiff and empty tiles (never flushed
+— their HBM rows stay uninitialized) are masked with ``count > 0``.
+
+The backward runs the grid REVERSED, replaying each chunk from the saved
+per-chunk entry transmittance (``tin``) with the CUDA-style suffix
+accumulator S_i = sum_{j>i} (g . c_j) w_j + gT * T_final, where gT is the
+cotangent of ``tfinal`` (the bg term of the original derivation arrives
+through the external composition). Per-entry gradients land in entry-major
+[9, E_al] blocks — static shapes, no dynamic writes — and the caller
+scatter-adds them per Gaussian.
+
+Attribute row order matches pallas_blend.py:
+    0: mean2d_x  1: mean2d_y  2: conic_xx  3: conic_xy  4: conic_yy
+    5: color_r   6: color_g   7: color_b   8: opacity
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from das3r_tpu.ops.splat.pallas_blend import (
+    N_ATTR, _interpret, _lane_iota, _mm, _pixel_coords, _tri_gt, _tri_lt)
+from das3r_tpu.ops.splat.settings import RasterSettings
+
+BLOCK = 1024          # entries per grid step
+CHUNK = 128           # entries per lane pass (8 chunks per block)
+
+
+def _chunk_math(attrs_ref, px, py, i, T_in, settings: RasterSettings):
+    """Shared fwd/bwd quantities for chunk ``i`` of the current block.
+
+    Pad slots carry the zero sentinel attribute row (opacity 0 ->
+    alpha 0 < alpha_floor), so no explicit slot mask is needed."""
+    s = settings
+    sl = pl.ds(i * CHUNK, CHUNK)
+    a_mx = attrs_ref[0, sl].reshape(1, CHUNK)
+    a_my = attrs_ref[1, sl].reshape(1, CHUNK)
+    a_cxx = attrs_ref[2, sl].reshape(1, CHUNK)
+    a_cxy = attrs_ref[3, sl].reshape(1, CHUNK)
+    a_cyy = attrs_ref[4, sl].reshape(1, CHUNK)
+    a_op = attrs_ref[8, sl].reshape(1, CHUNK)
+
+    dx = a_mx - px
+    dy = a_my - py
+    power = (-0.5 * (a_cxx * dx * dx + a_cyy * dy * dy) - a_cxy * dx * dy)
+    alpha_raw = a_op * jnp.exp(power)
+    alpha = jnp.minimum(s.alpha_clip, alpha_raw)
+    valid = (power <= 0.0) & (alpha >= s.alpha_floor)
+    a = jnp.where(valid, alpha, 0.0)
+    one_m = 1.0 - a
+    cum_before = T_in * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(CHUNK)))
+    t_after = cum_before * one_m
+    contribute = valid & (t_after >= s.transmittance_eps)
+    w = jnp.where(contribute, a * cum_before, 0.0)
+    return dx, dy, alpha_raw, a, one_m, cum_before, t_after, contribute, w
+
+
+def _eye(P: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _t_cols(x):
+    """[P, C] -> [C, P] via an MXU contraction with the identity (Mosaic
+    has no general VPU transpose for narrow minor dims; a P x P identity
+    matmul is ~P^2 MACs — noise on the MXU, used once per tile flush)."""
+    P = x.shape[0]
+    return jax.lax.dot_general(
+        x, _eye(P), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _t_rows(x):
+    """[C, P] -> [P, C] (same identity-contraction trick)."""
+    P = x.shape[1]
+    return jax.lax.dot_general(
+        _eye(P), x, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+PACK = 8   # tile-row packing: rows 0-2 = premultiplied color, row 3 =
+           # final transmittance, rows 4-7 = sublane-tiling pad (f32 HBM
+           # slices must be whole multiples of the (8, 128) tile)
+
+
+def _forward_kernel(chunk_tile_ref, attrs_ref, out_ref, tin_ref,
+                    cacc, tacc, stage, cur, sems,
+                    *, settings: RasterSettings, n_blocks: int):
+    s = settings
+    P = s.tile * s.tile
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        cur[0] = s.n_tiles        # sentinel: nothing to flush yet
+        stage[4:PACK, :] = jnp.zeros((PACK - 4, P), jnp.float32)
+
+    def flush(tile):
+        # One [PACK, P] DMA per finished tile (P-minor keeps the slice
+        # 128-lane aligned; [P, 3] rows are not DMA-able on Mosaic).
+        stage[0:3, :] = _t_cols(cacc[...])
+        stage[3:4, :] = _t_cols(tacc[...])
+        cp = pltpu.make_async_copy(stage, out_ref.at[tile], sems.at[0])
+        cp.start()
+        cp.wait()
+
+    for i in range(BLOCK // CHUNK):
+        cidx = g * (BLOCK // CHUNK) + i
+        tid = chunk_tile_ref[cidx]
+        prev = cur[0]
+        change = tid != prev
+
+        @pl.when(change & (prev < s.n_tiles))
+        def _(prev=prev):
+            flush(prev)
+
+        @pl.when(change)
+        def _(tid=tid):
+            cur[0] = tid
+            cacc[...] = jnp.zeros((P, 3), jnp.float32)
+            tacc[...] = jnp.ones((P, 1), jnp.float32)
+
+        tin_ref[i] = tacc[...]
+        T_in = tacc[...]
+
+        @pl.when((tid < s.n_tiles)
+                 & (jnp.max(T_in) >= s.transmittance_eps))
+        def _(tid=tid, i=i, T_in=T_in):
+            px, py = _pixel_coords(s, tid)
+            (_, _, _, _, _, cum_before, t_after, contribute,
+             w) = _chunk_math(attrs_ref, px, py, i, T_in, s)
+            sl = pl.ds(i * CHUNK, CHUNK)
+            adds = [
+                jnp.sum(w * attrs_ref[5 + ch, sl].reshape(1, CHUNK),
+                        axis=1, keepdims=True)
+                for ch in range(3)
+            ]
+            cacc[...] += jnp.concatenate(adds, axis=1)
+            t_cand = jnp.where(contribute, t_after, T_in)
+            tacc[...] = jnp.min(t_cand, axis=1, keepdims=True)
+
+    @pl.when((g == n_blocks - 1) & (cur[0] < s.n_tiles))
+    def _():
+        flush(cur[0])
+
+
+def _backward_kernel(chunk_tile_ref, attrs_ref, tin_ref, cot_ref, saved_ref,
+                     gattrs_ref, svec, gvec, cstage, ostage, cur, sems,
+                     *, settings: RasterSettings, n_blocks: int):
+    """Reverse sweep. Blocks arrive in reverse stream order (index_map),
+    chunks are processed 7..0 within each block; ``svec`` carries the
+    suffix accumulator of the current tile across chunk/block boundaries."""
+    s = settings
+    P = s.tile * s.tile
+    g = pl.program_id(0)
+    gattrs_ref[...] = jnp.zeros((N_ATTR, BLOCK), jnp.float32)
+
+    @pl.when(g == 0)
+    def _():
+        cur[0] = s.n_tiles
+
+    for i in reversed(range(BLOCK // CHUNK)):
+        cidx = (n_blocks - 1 - g) * (BLOCK // CHUNK) + i
+        tid = chunk_tile_ref[cidx]
+
+        # Entering a tile from the back: load the packed cotangent (rows
+        # 0-2 = gC, row 3 = gT) and the saved packed forward output (row 3
+        # = T_final); seed the suffix S = gT * T_final (the bg term rides
+        # the external composition).
+        @pl.when((tid != cur[0]) & (tid < s.n_tiles))
+        def _(tid=tid):
+            c1 = pltpu.make_async_copy(cot_ref.at[tid], cstage, sems.at[0])
+            c2 = pltpu.make_async_copy(saved_ref.at[tid], ostage, sems.at[1])
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+            gvec[...] = _t_rows(cstage[0:3, :])         # [P, 3]
+            svec[...] = _t_rows(cstage[3:4, :] * ostage[3:4, :])
+
+        @pl.when(tid != cur[0])
+        def _(tid=tid):
+            cur[0] = tid
+
+        @pl.when(tid < s.n_tiles)
+        def _(tid=tid, i=i):
+            T_in = tin_ref[i]
+            px, py = _pixel_coords(s, tid)
+            (dx, dy, alpha_raw, a, one_m, cum_before, _, contribute,
+             w) = _chunk_math(attrs_ref, px, py, i, T_in, s)
+            gcv = gvec[...]                              # [P, 3]
+            sl = pl.ds(i * CHUNK, CHUNK)
+
+            gc_dot = jnp.zeros((P, CHUNK), jnp.float32)
+            for ch in range(3):
+                col = attrs_ref[5 + ch, sl].reshape(1, CHUNK)
+                gch = gcv[:, ch:ch + 1]
+                gattrs_ref[5 + ch, sl] = jnp.sum(w * gch, axis=0)
+                gc_dot = gc_dot + gch * col
+
+            e = gc_dot * w
+            S_i = _mm(e, _tri_gt(CHUNK)) + svec[...]     # [P, CHUNK]
+
+            d_alpha = jnp.where(
+                contribute,
+                gc_dot * cum_before - S_i / jnp.maximum(one_m, 1e-12), 0.0)
+            d_alpha_raw = jnp.where(alpha_raw > s.alpha_clip, 0.0, d_alpha)
+            d_power = alpha_raw * d_alpha_raw
+            a_op = attrs_ref[8, sl].reshape(1, CHUNK)
+            gattrs_ref[8, sl] = jnp.sum(
+                (alpha_raw / jnp.maximum(a_op, 1e-30)) * d_alpha_raw, axis=0)
+            a_cxx = attrs_ref[2, sl].reshape(1, CHUNK)
+            a_cxy = attrs_ref[3, sl].reshape(1, CHUNK)
+            a_cyy = attrs_ref[4, sl].reshape(1, CHUNK)
+            gattrs_ref[2, sl] = jnp.sum(-0.5 * dx * dx * d_power, axis=0)
+            gattrs_ref[3, sl] = jnp.sum(-dx * dy * d_power, axis=0)
+            gattrs_ref[4, sl] = jnp.sum(-0.5 * dy * dy * d_power, axis=0)
+            ddx = (-(a_cxx * dx + a_cxy * dy)) * d_power
+            ddy = (-(a_cyy * dy + a_cxy * dx)) * d_power
+            gattrs_ref[0, sl] = jnp.sum(ddx, axis=0)
+            gattrs_ref[1, sl] = jnp.sum(ddy, axis=0)
+
+            svec[...] = jnp.sum(e, axis=1, keepdims=True) + svec[...]
+
+
+def _forward_impl(attrs, chunk_tile, settings: RasterSettings):
+    s = settings
+    P = s.tile * s.tile
+    n_blocks = attrs.shape[0]
+    e_al = n_blocks * BLOCK
+    kernel = functools.partial(_forward_kernel, settings=s,
+                               n_blocks=n_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((None, N_ATTR, BLOCK), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((BLOCK // CHUNK, P, 1), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 3), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((PACK, P), jnp.float32),  # flush staging (P-minor)
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    packed, tin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s.n_tiles, PACK, P), jnp.float32),
+            jax.ShapeDtypeStruct((e_al // CHUNK, P, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(chunk_tile, attrs)
+    return packed, tin
+
+
+def _backward_impl(attrs, chunk_tile, tin, cot, saved,
+                   settings: RasterSettings):
+    s = settings
+    P = s.tile * s.tile
+    n_blocks = attrs.shape[0]
+    e_al = n_blocks * BLOCK
+    kernel = functools.partial(_backward_kernel, settings=s,
+                               n_blocks=n_blocks)
+    rev = lambda g, c: (n_blocks - 1 - g, 0, 0)          # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((None, N_ATTR, BLOCK), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK // CHUNK, P, 1), rev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, N_ATTR, BLOCK), rev,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),     # suffix S
+            pltpu.VMEM((P, 3), jnp.float32),     # gC of current tile
+            pltpu.VMEM((PACK, P), jnp.float32),  # DMA staging: cotangent
+            pltpu.VMEM((PACK, P), jnp.float32),  # DMA staging: saved fwd
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, N_ATTR, BLOCK),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(chunk_tile, attrs, tin, cot, saved)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blend_entry_stream(table, rank, chunk_tile, settings: RasterSettings):
+    """table [N+1, 9] (row N = zero sentinel for pad slots), rank [E_al]
+    int32, chunk_tile [E_al/128] int32 -> packed [T, PACK, P] tile rows
+    (rows 0-2 = premultiplied color, row 3 = final transmittance, rows
+    4-7 pad), UNDEFINED for empty tiles (count == 0) — callers mask with
+    the per-tile count and compose ``cpre + tfinal * bg`` externally.
+    Gradients flow to ``table``."""
+    packed, _, _ = _fwd_impl_full(table, rank, chunk_tile, settings)
+    return packed
+
+
+def _fwd_impl_full(table, rank, chunk_tile, settings):
+    # [E_al/B, 9, B]: batched per-block transposes (a single global
+    # [E, 9] -> [9, E] transpose measured ~10 ms on TPU; batched is ~free)
+    attrs = jnp.swapaxes(
+        table[rank].reshape(-1, BLOCK, N_ATTR), 1, 2)
+    packed, tin = _forward_impl(attrs, chunk_tile, settings)
+    return packed, attrs, tin
+
+
+def _fwd(table, rank, chunk_tile, settings):
+    packed, attrs, tin = _fwd_impl_full(table, rank, chunk_tile, settings)
+    return packed, (attrs, tin, packed, rank, chunk_tile, table.shape[0])
+
+
+def _bwd(settings, res, cot):
+    attrs, tin, packed, rank, chunk_tile, n_rows = res
+    gattrs = _backward_impl(attrs, chunk_tile, tin, cot, packed, settings)
+    g_rows = jnp.swapaxes(gattrs, 1, 2).reshape(-1, N_ATTR)   # [E_al, 9]
+    g_table = jnp.zeros((n_rows, N_ATTR), jnp.float32).at[rank].add(g_rows)
+    return g_table, None, None
+
+
+blend_entry_stream.defvjp(_fwd, _bwd)
+
+
+def render_tiles(table, stream, bg, settings: RasterSettings):
+    """Empty-tile-safe wrapper around ``blend_entry_stream``: tiles with no
+    entries are never flushed by the kernel (their HBM rows are
+    uninitialized), so mask them to the (cpre=0, tfinal=1) background case
+    before the caller's ``cpre + tfinal * bg`` composition. ``bg`` is
+    accepted for signature symmetry but composed by the caller so its
+    gradient rides ordinary autodiff."""
+    del bg
+    packed = blend_entry_stream(table, stream.rank, stream.chunk_tile,
+                                settings)
+    nonempty = (stream.count > 0)[:, None, None]
+    cpre = jnp.where(nonempty, packed[:, 0:3, :], 0.0)
+    tfinal = jnp.where(nonempty, packed[:, 3:4, :], 1.0)
+    return cpre, tfinal

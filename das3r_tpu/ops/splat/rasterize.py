@@ -85,13 +85,40 @@ def rasterize(
             lambda x: jax.lax.with_sharding_constraint(
                 x, P_(*([None] * x.ndim))), p)
 
-    bins = jax.tree.map(
-        jax.lax.stop_gradient,
-        binning.bin_gaussians(jax.lax.stop_gradient(p), settings))
-
     if backend == "auto":
         backend = "pallas" if (tile_axis is None
                                and jax.default_backend() == "tpu") else "xla"
+
+    if (backend == "pallas" and settings.entry_stream
+            and binning.entry_stream_supported(means3d.shape[0], settings)):
+        from das3r_tpu.ops.splat import entry_blend
+        es = jax.tree.map(
+            jax.lax.stop_gradient,
+            binning.bin_entry_stream(jax.lax.stop_gradient(p), settings))
+        attr_mat = jnp.concatenate(
+            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
+        # Depth-rank-ordered table + zero sentinel row for stream pad
+        # slots. The barrier forces ONE contiguous [N+1, 9] table: without
+        # it XLA fuses the rank-permutation and the column concat INTO the
+        # [E_al]-scale gather (measured ~6x slower, same pathology as the
+        # window path's table barrier).
+        table = jax.lax.optimization_barrier(jnp.concatenate(
+            [attr_mat[es.order], jnp.zeros((1, attr_mat.shape[1]),
+                                           attr_mat.dtype)]))
+        cpre, tfinal = entry_blend.render_tiles(table, es, bg, settings)
+        tiles = cpre + tfinal * bg.reshape(1, 3, 1)     # [T, 3, P]
+        img = blend.assemble_image(jnp.swapaxes(tiles, 1, 2), settings)
+        aux = RasterAux(
+            n_contrib_tiles=es.count,
+            tile_overflow=jnp.zeros((), jnp.int32),  # no capacity: exact
+            dup_overflow=es.dup_overflow,
+            entry_overflow=es.entry_overflow,
+        )
+        return img, p.radius, aux
+
+    bins = jax.tree.map(
+        jax.lax.stop_gradient,
+        binning.bin_gaussians(jax.lax.stop_gradient(p), settings))
 
     if backend == "pallas":
         from das3r_tpu.ops.splat import pallas_blend

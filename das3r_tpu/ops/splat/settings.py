@@ -69,6 +69,19 @@ class RasterSettings:
     # (binning._windows); the DMA path keeps every downstream array at
     # K width.
     use_dma_windows: bool = True
+    # Entry-stream blending (Pallas backend): walk a 128-aligned
+    # variable-length per-tile entry stream instead of fixed [T, K] windows.
+    # EXACT — no per-tile capacity, so ``max_per_tile`` never truncates —
+    # and work scales with the actual entry count instead of
+    # tiles x max-occupancy (per-tile occupancy is heavily skewed: the
+    # 100k-Gaussian bench scene has mean 548 / max 2248 entries per tile).
+    # Engaged when the backend is Pallas, ``max_total_entries`` is set
+    # (it sizes the static stream; see models/autosize.py for the
+    # per-scene probe) and the packable single-key path applies
+    # ((n_tiles+1) << ceil(log2 N) within 32 bits); the [T, K] window path
+    # is used otherwise. Exact depth ranks are always used here
+    # (``depth_sort_bits`` is ignored by the stream).
+    entry_stream: bool = True
 
     @property
     def tiles_x(self) -> int:

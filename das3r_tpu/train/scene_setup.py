@@ -47,7 +47,11 @@ def build_scene(
     max_tiles_per_gaussian: int = 32,
     tile: int = 16,
     max_points: int | None = 1_500_000,
+    entry_cap: int | None = None,
 ) -> SceneBundle:
+    """``entry_cap``: static rasterizer entry capacity. None = probe this
+    scene's occupancy over sampled train views (models/autosize.py) — the
+    TPU-native equivalent of the CUDA rasterizer's dynamic buffer growth."""
     train = data.subset(data.train_idx)
     test = data.subset(data.test_idx) if len(data.test_idx) else None
 
@@ -71,10 +75,16 @@ def build_scene(
         sh_degree=0,  # active degree starts at 0 (bumped every 3000 iters)
         tile=tile, max_per_tile=max_per_tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
-        # compact the binning sort; 8 entries/Gaussian covers typical
-        # scenes with slack (overflow telemetry in RasterAux)
+        # placeholder capacity; replaced below (probe or explicit)
         max_total_entries=8 * params.xyz.shape[0],
         depth_sort_bits=0)
+    if entry_cap is None:
+        from das3r_tpu.models import autosize
+        # occupancy depends on geometry/opacity only, not SH degree
+        entry_cap = autosize.auto_entry_cap(
+            params, meta, settings, poses.all_poses(),
+            float(train.fovx[0]), float(train.fovy[0]))
+    settings = dataclasses.replace(settings, max_total_entries=entry_cap)
 
     return SceneBundle(params=params, meta=meta, scene=scene, poses=poses,
                        test_poses=test_poses, settings=settings,

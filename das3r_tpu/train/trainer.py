@@ -395,6 +395,9 @@ def main(argv=None):
                          "optimization is a silent no-op)")
     ap.add_argument("--sh_degree", type=int, default=3)
     ap.add_argument("--conf_thre", type=float, default=1.0)
+    ap.add_argument("--entry_cap", type=int, default=None,
+                    help="static rasterizer entry capacity; default probes "
+                         "the scene's occupancy (models/autosize.py)")
     ap.add_argument("--max_points", type=int, default=1_500_000,
                     help="cap dense init at the N highest-confidence pixels (0 = keep all, reference behavior)")
     ap.add_argument("--white_background", action="store_true")
@@ -439,7 +442,8 @@ def main(argv=None):
                               gt_mask_kind=args.dataset)
     bundle = scene_setup.build_scene(data, sh_degree=args.sh_degree,
                                      conf_thre=args.conf_thre,
-                                     max_points=args.max_points or None)
+                                     max_points=args.max_points or None,
+                                     entry_cap=args.entry_cap)
     cfg = OptimizationConfig(iterations=args.iterations,
                              psnr_threshold=args.psnr_threshold)
     os.makedirs(args.model_path, exist_ok=True)

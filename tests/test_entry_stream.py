@@ -1,0 +1,166 @@
+"""Entry-stream rasterizer tests: the variable-length (no per-tile
+capacity) blend path must match the float64 oracle and the [T, K] window
+path wherever the latter does not truncate — and must stay exact where it
+DOES truncate (per-tile occupancy above max_per_tile, reference CUDA
+semantics: diff-gaussian-rasterization keeps every pair)."""
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from das3r_tpu.ops.splat import RasterSettings, binning, rasterize
+from das3r_tpu.ops.splat.preprocess import preprocess as run_preprocess
+from das3r_tpu.ops.splat.reference import rasterize_reference
+
+from test_splat import make_camera, make_scene
+
+
+def _kw(settings, scales, rots, colors, bg=None):
+    view, proj, campos, tfx, tfy = make_camera(settings)
+    bg = np.zeros(3, np.float32) if bg is None else np.asarray(bg, np.float32)
+    return dict(viewmatrix=view, projmatrix=proj, campos=campos,
+                bg=jnp.asarray(bg), tan_fovx=tfx, tan_fovy=tfy,
+                scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+                colors_precomp=jnp.asarray(colors))
+
+
+def _raster(settings, means, ops, kw, backend="pallas"):
+    return jax.jit(functools.partial(
+        rasterize, settings=settings, backend=backend))(
+        jnp.asarray(means), jnp.asarray(ops), **kw)
+
+
+class TestEntryStreamForward:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(42)
+        s = RasterSettings(image_height=128, image_width=128, sh_degree=0,
+                           max_per_tile=1024, max_tiles_per_gaussian=64,
+                           max_total_entries=48_000, entry_stream=True)
+        means, scales, rots, ops, colors = make_scene(1000, rng)
+        bg = np.array([0.2, 0.3, 0.1], np.float32)
+        kw = _kw(s, scales, rots, colors, bg)
+        img, radii, aux = _raster(s, means, ops, kw)
+        view, proj, campos, tfx, tfy = make_camera(s)
+        ref_img, ref_radii = rasterize_reference(
+            means, ops, s, viewmatrix=view, projmatrix=proj, campos=campos,
+            bg=bg, tan_fovx=tfx, tan_fovy=tfy, scales=scales,
+            rotations=rots, colors_precomp=colors)
+        np.testing.assert_array_equal(np.asarray(radii), ref_radii)
+        np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-4)
+        assert int(aux.tile_overflow) == 0
+
+    def test_exact_where_windows_truncate(self):
+        """max_per_tile small enough to truncate the [T, K] path: the
+        entry stream must still match the oracle exactly."""
+        rng = np.random.default_rng(3)
+        s = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                           max_per_tile=128, max_tiles_per_gaussian=64,
+                           max_total_entries=64_000, entry_stream=True)
+        means, scales, rots, ops, colors = make_scene(1500, rng, spread=0.8)
+        kw = _kw(s, scales, rots, colors)
+        img, _, aux = _raster(s, means, ops, kw)
+        assert int(jnp.max(aux.n_contrib_tiles)) > s.max_per_tile, \
+            "scene not dense enough to exercise truncation"
+        view, proj, campos, tfx, tfy = make_camera(s)
+        ref_img, _ = rasterize_reference(
+            means, ops, s, viewmatrix=view, projmatrix=proj, campos=campos,
+            bg=np.zeros(3, np.float32), tan_fovx=tfx, tan_fovy=tfy,
+            scales=scales, rotations=rots, colors_precomp=colors)
+        np.testing.assert_allclose(np.asarray(img), ref_img, atol=3e-4)
+
+
+class TestEntryStreamBackward:
+    def test_grads_match_window_path(self):
+        rng = np.random.default_rng(7)
+        base = RasterSettings(image_height=128, image_width=128, sh_degree=0,
+                              max_per_tile=1024, max_tiles_per_gaussian=64,
+                              max_total_entries=48_000, entry_stream=False)
+        means, scales, rots, ops, colors = make_scene(800, rng)
+        bg = np.array([0.1, 0.0, 0.4], np.float32)
+        kw = _kw(base, scales, rots, colors, bg)
+
+        def loss(s):
+            def f(m, o, b):
+                kw2 = dict(kw, bg=b)
+                i, _, _ = rasterize(m, o, s, backend="pallas", **kw2)
+                w = jnp.cos(jnp.arange(i.size).reshape(i.shape) * 0.01)
+                return jnp.sum(i * w)
+            return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+        args = (jnp.asarray(means), jnp.asarray(ops), kw["bg"])
+        g_new = loss(dataclasses.replace(base, entry_stream=True))(*args)
+        g_old = loss(base)(*args)
+        for a, b in zip(g_new, g_old):
+            ref = np.abs(np.asarray(b)).max() + 1e-12
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5 * ref)
+
+    def test_bg_gradient_covers_empty_tiles(self):
+        """A scene leaving whole tiles empty: d(sum image)/d(bg) must count
+        every pixel's transmittance, including bg-only tiles (they ride the
+        external composition; kernel rows for them are never written)."""
+        rng = np.random.default_rng(11)
+        s = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                           max_per_tile=128, max_tiles_per_gaussian=16,
+                           max_total_entries=16_384, entry_stream=True)
+        means, scales, rots, ops, colors = make_scene(5, rng, spread=0.2)
+        kw = _kw(s, scales, rots, colors)
+
+        def f(b):
+            i, _, _ = rasterize(jnp.asarray(means), jnp.asarray(ops), s,
+                                backend="pallas", **dict(kw, bg=b))
+            return jnp.sum(i)
+
+        g = np.asarray(jax.jit(jax.grad(f))(kw["bg"]))
+        # each channel's bg grad = sum of per-pixel final transmittance
+        assert (g > 0.8 * 64 * 64).all(), g  # most pixels are background
+        eps = 1e-3
+        f0 = float(f(kw["bg"]))
+        f1 = float(f(kw["bg"] + jnp.asarray([eps, 0, 0])))
+        np.testing.assert_allclose(g[0], (f1 - f0) / eps, rtol=5e-3)
+
+
+class TestStreamBuilder:
+    def test_alignment_and_counts(self):
+        rng = np.random.default_rng(0)
+        s = RasterSettings(image_height=64, image_width=96, sh_degree=0,
+                           max_per_tile=1024, max_tiles_per_gaussian=32,
+                           max_total_entries=32_768, entry_stream=True)
+        means, scales, rots, ops, colors = make_scene(600, rng)
+        view, proj, campos, tfx, tfy = make_camera(s)
+        prep = run_preprocess(
+            jnp.asarray(means), jnp.asarray(ops), s,
+            viewmatrix=jnp.asarray(view), projmatrix=jnp.asarray(proj),
+            campos=jnp.asarray(campos), shs=None,
+            colors_precomp=jnp.asarray(colors), scales=jnp.asarray(scales),
+            rotations=jnp.asarray(rots), cov3d_precomp=None,
+            mean2d_offset=None, tan_fovx=tfx, tan_fovy=tfy)
+        es = jax.jit(functools.partial(binning.bin_entry_stream,
+                                       settings=s))(prep)
+        bins = jax.jit(functools.partial(binning.bin_gaussians,
+                                         settings=s))(prep)
+        n = means.shape[0]
+        np.testing.assert_array_equal(np.asarray(es.count),
+                                      np.asarray(bins.full_count))
+        rank = np.asarray(es.rank)
+        ct = np.asarray(es.chunk_tile)
+        count = np.asarray(es.count)
+        # walk the stream: each tile's segment is 128-aligned, its first
+        # count slots carry live ranks (< n), the rest the pad sentinel n
+        pos = 0
+        for t in range(s.n_tiles):
+            c = int(count[t])
+            if c == 0:
+                continue
+            seg = rank[pos:pos + c]
+            assert (seg < n).all(), t
+            ali = -(-c // 128) * 128
+            assert (rank[pos + c:pos + ali] == n).all(), t
+            assert (ct[pos // 128:(pos + ali) // 128] == t).all(), t
+            # depth order within tile: ranks strictly increasing
+            assert (np.diff(seg) > 0).all(), t
+            pos += ali
+        assert (rank[pos:] == n).all()
+        assert (ct[pos // 128:] == s.n_tiles).all()
