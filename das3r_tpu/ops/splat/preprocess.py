@@ -258,8 +258,13 @@ def preprocess(
     else:
         assert shs is not None
         direction = means3d - campos[None, :]
-        direction = direction / jnp.linalg.norm(
-            direction, axis=-1, keepdims=True).clip(1e-12)
+        # Double-where safe normalize: dead capacity slots sit at the origin
+        # and the first (rearranged) camera is at the origin too, so the
+        # plain norm has a NaN gradient there that poisons the POSE grad
+        # (summed over all Gaussians) the moment sh_degree reaches 1.
+        sq = jnp.sum(direction * direction, axis=-1, keepdims=True)
+        safe = jnp.where(sq > 0.0, sq, 1.0)
+        direction = jnp.where(sq > 0.0, direction / jnp.sqrt(safe), 0.0)
         # shs: [N, K, 3] -> eval wants [N, 3, K]
         raw = sh_lib.eval_sh(s.sh_degree, jnp.swapaxes(shs, -1, -2), direction)
         color = jnp.maximum(raw + 0.5, 0.0)

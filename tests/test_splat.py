@@ -368,3 +368,32 @@ class TestConfidenceRender:
         covered = img[0] > 0.01
         assert covered.any()
         assert img[0][covered].max() <= 0.26
+
+
+class TestShDirectionNaNGuard:
+    def test_pose_grad_finite_with_origin_camera_and_dead_slots(self):
+        """sh_degree>=1 normalizes view directions; dead capacity slots sit
+        at xyz=0 and the first rearranged camera is at the origin, so the
+        direction norm is exactly 0 there. The safe-norm double-where in
+        preprocess must keep pose/xyz grads finite (regression: the iter-3000
+        SH bump NaN'd every camera pose in the e2e quality run)."""
+        import dataclasses
+        from das3r_tpu.models import render as render_mod
+        from das3r_tpu.data.synthetic import random_gaussian_scene
+
+        params, meta, poses = random_gaussian_scene(
+            200, cap=256, height=32, width=32, seed=0)
+        pose = jnp.asarray([1., 0., 0., 0., 0., 0., 0.])  # camera at origin
+        bg = jnp.zeros(3)
+        s = RasterSettings(image_height=32, image_width=32, sh_degree=1,
+                           max_per_tile=1024, max_tiles_per_gaussian=64,
+                           max_total_entries=3200)
+
+        def loss_fn(p, pose7):
+            out = render_mod.render(p, meta, s, pose7, bg, 1.0, 1.0)
+            return jnp.sum(out.image ** 2)
+
+        gp, gpose = jax.grad(loss_fn, argnums=(0, 1))(params, pose)
+        assert bool(jnp.isfinite(gpose).all())
+        assert bool(jnp.isfinite(gp.xyz).all())
+        assert bool(jnp.isfinite(gp.features_rest).all())
