@@ -279,3 +279,38 @@ def load_blender_scene(path: str, white_background: bool = False,
         except OSError:
             pass
     return data, (xyz, rgb)
+
+
+def camera_to_json(cam_id: int, name: str, w2c: np.ndarray,
+                   fovx: float, fovy: float, width: int,
+                   height: int) -> dict:
+    """One camera entry in the reference's ``cameras.json`` schema
+    (utils/camera_utils.py:113-133): camera CENTER + c2w rotation +
+    pixel focal lengths (fov2focal)."""
+    c2w = np.linalg.inv(np.asarray(w2c, np.float64))
+    return {
+        "id": int(cam_id),
+        "img_name": str(name),
+        "width": int(width),
+        "height": int(height),
+        "position": c2w[:3, 3].tolist(),
+        "rotation": [row.tolist() for row in c2w[:3, :3]],
+        "fy": float(height / (2.0 * math.tan(float(fovy) * 0.5))),
+        "fx": float(width / (2.0 * math.tan(float(fovx) * 0.5))),
+    }
+
+
+def save_cameras_json(path: str, data: SceneData) -> None:
+    """Dump all frames of a SceneData to ``cameras.json`` exactly as the
+    reference Scene does at startup (scene/__init__.py:66-71 via
+    camera_to_JSON)."""
+    import json as _json
+    entries = [
+        camera_to_json(i, data.names[i] if i < len(data.names) else str(i),
+                       data.poses_w2c_colmap[i], float(data.fovx[i]),
+                       float(data.fovy[i]), data.width, data.height)
+        for i in range(data.n_frames)
+    ]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        _json.dump(entries, f)

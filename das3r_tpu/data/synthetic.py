@@ -94,22 +94,37 @@ def make_synthetic_stage1_dir(
     pos, quat = trajectory.c2w_to_tum(poses)
     trajectory.write_tum(str(out / "pred_traj.txt"), pos, quat)
 
-    # static textured background on a bumpy plane at z ~ [4, 6]
-    tex = rng.uniform(0.1, 0.9, (height, width, 3)).astype(np.float32)
-    tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)) / 3  # smooth a bit
-    base_depth = 5.0 + np.sin(
-        np.linspace(0, 3 * np.pi, width))[None, :] * 0.5 + np.sin(
-        np.linspace(0, 2 * np.pi, height))[:, None] * 0.3
+    # Static background: a bumpy wall defined in WORLD space —
+    # z = 5 + 0.5 sin(1.1 x) + 0.3 sin(1.7 y) — textured by a smooth
+    # world-space color function. Each frame's image and depth come from
+    # exact ray/surface intersection with the written pose+intrinsics, so
+    # the multi-view supervision is subpixel-consistent (a perfect
+    # reconstruction scores arbitrarily high PSNR; the old generator's
+    # integer-shifted noise texture capped ANY method at ~17 dB).
+    def wall_z(x, y):
+        return 5.0 + 0.5 * np.sin(1.1 * x) + 0.3 * np.sin(1.7 * y)
+
+    def wall_color(x, y):
+        # smooth multi-octave texture in [0.05, 0.95]
+        r = 0.5 + 0.25 * np.sin(2.1 * x + 0.3) + 0.15 * np.sin(5.3 * y)
+        g = 0.5 + 0.25 * np.sin(1.7 * y + 1.1) + 0.15 * np.sin(4.1 * (x + y))
+        b = 0.5 + 0.25 * np.sin(2.9 * (x - y)) + 0.15 * np.cos(3.7 * x)
+        return np.clip(np.stack([r, g, b], -1), 0.05, 0.95).astype(
+            np.float32)
 
     gx, gy = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    dirx = (gx - width / 2) / focal
+    diry = (gy - height / 2) / focal
     for f in range(n_frames):
-        # re-project the static wall into frame f (shift by parallax)
-        dx = poses[f, 0, 3] * focal / base_depth
-        dy = poses[f, 1, 3] * focal / base_depth
-        xs = np.clip((gx - dx).astype(np.int64), 0, width - 1)
-        ys = np.clip((gy - dy).astype(np.int64), 0, height - 1)
-        img = tex[ys, xs]
-        depth = base_depth[ys, xs].astype(np.float32)
+        # cameras translate only (identity rotation): world point along the
+        # pixel ray is t + z * (dirx, diry, 1); solve z = wall_z(...) by
+        # fixed point (slopes are gentle, converges in a few iterations)
+        tx, ty, tz = poses[f, :3, 3]
+        z = np.full((height, width), 5.0)
+        for _ in range(25):
+            z = wall_z(tx + z * dirx, ty + z * diry) - tz
+        img = wall_color(tx + z * dirx, ty + z * diry)
+        depth = z.astype(np.float32)
 
         # dynamic object: bright square marching across the image
         x0 = int(width * 0.1 + f * width * 0.08)

@@ -84,13 +84,16 @@ def gaussian_lrs(step, cfg: OptimizationConfig,
         lr_delay_mult=cfg.position_lr_delay_mult,
         max_steps=cfg.iterations)
     f = jnp.float32
+    # create_from_cameras parity: only _xyz and _conf_static train
+    # (requires_grad_(False) on the rest, gaussian_model.py:651-659)
+    attr = 0.0 if cfg.freeze_attrs else 1.0
     return GaussianParams(
         xyz=xyz_lr.astype(f),
-        features_dc=jnp.asarray(cfg.feature_lr, f),
-        features_rest=jnp.asarray(cfg.feature_lr / 20.0, f),
-        scaling=jnp.asarray(cfg.scaling_lr, f),
-        rotation=jnp.asarray(cfg.rotation_lr, f),
-        opacity=jnp.asarray(cfg.opacity_lr, f),
+        features_dc=jnp.asarray(attr * cfg.feature_lr, f),
+        features_rest=jnp.asarray(attr * cfg.feature_lr / 20.0, f),
+        scaling=jnp.asarray(attr * cfg.scaling_lr, f),
+        rotation=jnp.asarray(attr * cfg.rotation_lr, f),
+        opacity=jnp.asarray(attr * cfg.opacity_lr, f),
         conf_static=conf_lr.astype(f),
     )
 

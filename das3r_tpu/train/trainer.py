@@ -389,6 +389,11 @@ def main(argv=None):
                     default=True)
     ap.add_argument("--no-optim-pose", dest="optim_pose",
                     action="store_false")
+    ap.add_argument("--train_all_attrs", action="store_true",
+                    help="also train features/scaling/rotation/opacity "
+                    "(the reference's create_from_cameras path freezes "
+                    "them, gaussian_model.py:651-659 — only xyz and "
+                    "conf_static train by default)")
     ap.add_argument("--no-optim-test-pose", dest="optim_test_pose",
                     action="store_false", default=True,
                     help="strict parity with the reference (its test-pose "
@@ -445,7 +450,8 @@ def main(argv=None):
                                      max_points=args.max_points or None,
                                      entry_cap=args.entry_cap)
     cfg = OptimizationConfig(iterations=args.iterations,
-                             psnr_threshold=args.psnr_threshold)
+                             psnr_threshold=args.psnr_threshold,
+                             freeze_attrs=not args.train_all_attrs)
     os.makedirs(args.model_path, exist_ok=True)
     with open(os.path.join(args.model_path, "cfg.json"), "w") as f:
         f.write(to_json(cfg))
@@ -457,6 +463,8 @@ def main(argv=None):
 
     ckpt.save_pose_npy(os.path.join(args.model_path, "pose", "pose_org.npy"),
                        bundle.poses)
+    readers.save_cameras_json(os.path.join(args.model_path, "cameras.json"),
+                              data)
     tb_writer = tblog.make_writer(os.path.join(args.model_path, "tb")
                                   if args.tensorboard else None)
     try:

@@ -88,7 +88,8 @@ def ellipse_path(poses: np.ndarray, n_frames: int = 120,
         centroid[0] + radii[0] * np.cos(theta),
         centroid[1] + radii[1] * np.sin(theta),
         np.full_like(theta, centroid[2] + z_offset)], -1)
-    pts = resample_const_speed(pts, n_frames)
+    from das3r_tpu.utils import stepfun
+    pts = stepfun.resample_const_speed_stepfun(pts, n_frames)
     return np.stack([look_at(p, centroid) for p in pts])
 
 

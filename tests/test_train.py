@@ -221,3 +221,31 @@ class TestTrainStep:
             if l0 is None:
                 l0 = float(lossv)
         assert float(lossv) < l0
+
+
+class TestFreezeAttrs:
+    def test_freeze_attrs_only_xyz_and_conf_move(self):
+        """create_from_cameras parity (gaussian_model.py:651-659): with
+        freeze_attrs, features/scaling/rotation/opacity stay bit-identical
+        while xyz and conf_static train."""
+        params, meta, poses, settings = build_synthetic_scene(seed=5)
+        bg = jnp.zeros(3)
+        fov = jnp.asarray(1.0)
+        gt = render_mod.render(params, meta, settings, poses.pose(0), bg,
+                               fov, fov, mode="train").image + 0.05
+        cfg = OptimizationConfig(psnr_threshold=1e6, freeze_attrs=True)
+        state = step_mod.init_train_state(params, poses)
+        before = {k: np.asarray(getattr(state.params, k)).copy()
+                  for k in ("features_dc", "features_rest", "scaling",
+                            "rotation", "opacity", "xyz", "conf_static")}
+        for it in range(3):
+            state, meta, _ = step_mod.train_step(
+                state, meta, jnp.asarray(0), gt, fov, fov, bg, settings,
+                cfg)
+        for k in ("features_dc", "features_rest", "scaling", "rotation",
+                  "opacity"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state.params, k)), before[k], err_msg=k)
+        assert np.abs(np.asarray(state.params.xyz) - before["xyz"]).max() > 0
+        assert np.abs(np.asarray(state.params.conf_static)
+                      - before["conf_static"]).max() > 0
