@@ -301,9 +301,11 @@ def camera_to_json(cam_id: int, name: str, w2c: np.ndarray,
 
 
 def save_cameras_json(path: str, data: SceneData) -> None:
-    """Dump all frames of a SceneData to ``cameras.json`` exactly as the
-    reference Scene does at startup (scene/__init__.py:66-71 via
-    camera_to_JSON)."""
+    """Dump all frames of a SceneData to ``cameras.json`` following the
+    per-entry camera_to_JSON schema (utils/camera_utils.py:113-133). Note
+    the reference Scene's own write of this file is commented out
+    (scene/__init__.py:66-71), so this is an extra convenience artifact,
+    not a reference-required one."""
     import json as _json
     entries = [
         camera_to_json(i, data.names[i] if i < len(data.names) else str(i),

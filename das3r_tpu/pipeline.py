@@ -70,8 +70,7 @@ def run(image_dir: str, work_dir: str, cfg: PipelineConfig,
                                      conf_thre=cfg.conf_thre)
     model_path = os.path.join(work_dir, "model")
     os.makedirs(model_path, exist_ok=True)
-    opt_cfg = OptimizationConfig(iterations=cfg.iterations,
-                                 freeze_attrs=True)
+    opt_cfg = OptimizationConfig(iterations=cfg.iterations)
     result = trainer.train_scene(
         bundle, opt_cfg, model_path=model_path,
         saving_iterations={cfg.iterations}, progress=verbose)

@@ -58,12 +58,13 @@ class OptimizationConfig:
     cam_lr_max_steps: int = 1000
     fov_lr: float = 1e-4
     psnr_threshold: float = 26.0   # camera-step gate (train_gui.py:734)
-    # Reference parity: the create_from_cameras init path marks ONLY _xyz
-    # and _conf_static trainable (requires_grad_(False) on features/
-    # scaling/rotation/opacity, gaussian_model.py:651-659) — colors stay
-    # the exact unprojected pixel colors and opacity stays 1/n_frames.
-    # The trainer CLI enables this (it always uses that init path);
-    # default False keeps the full 3DGS lr set for the classic/pcd paths.
+    # The reference's create_from_cameras init path LOOKS like it freezes
+    # features/scaling/rotation/opacity (requires_grad_(False),
+    # gaussian_model.py:651-659) — but wrapping in nn.Parameter resets
+    # requires_grad=True (torch Parameter constructor default, verified
+    # empirically), and training_setup registers all attrs with normal
+    # lrs, so the reference actually TRAINS every attribute. Default False
+    # matches that real behavior; True is an opt-in ablation.
     freeze_attrs: bool = False
 
 

@@ -84,8 +84,10 @@ def gaussian_lrs(step, cfg: OptimizationConfig,
         lr_delay_mult=cfg.position_lr_delay_mult,
         max_steps=cfg.iterations)
     f = jnp.float32
-    # create_from_cameras parity: only _xyz and _conf_static train
-    # (requires_grad_(False) on the rest, gaussian_model.py:651-659)
+    # Opt-in ablation: zero the attr lrs. NOT reference parity — the
+    # reference's requires_grad_(False) at gaussian_model.py:651-659 is
+    # undone by nn.Parameter (constructor default requires_grad=True),
+    # so it trains every attribute on the create_from_cameras path.
     attr = 0.0 if cfg.freeze_attrs else 1.0
     return GaussianParams(
         xyz=xyz_lr.astype(f),

@@ -389,11 +389,13 @@ def main(argv=None):
                     default=True)
     ap.add_argument("--no-optim-pose", dest="optim_pose",
                     action="store_false")
-    ap.add_argument("--train_all_attrs", action="store_true",
-                    help="also train features/scaling/rotation/opacity "
-                    "(the reference's create_from_cameras path freezes "
-                    "them, gaussian_model.py:651-659 — only xyz and "
-                    "conf_static train by default)")
+    ap.add_argument("--freeze_attrs", action="store_true",
+                    help="freeze features/scaling/rotation/opacity (what "
+                    "the reference's create_from_cameras path APPEARS to "
+                    "do, gaussian_model.py:651-659 — but nn.Parameter "
+                    "resets requires_grad=True, so the reference actually "
+                    "trains every attribute; default matches that real "
+                    "behavior)")
     ap.add_argument("--no-optim-test-pose", dest="optim_test_pose",
                     action="store_false", default=True,
                     help="strict parity with the reference (its test-pose "
@@ -451,7 +453,7 @@ def main(argv=None):
                                      entry_cap=args.entry_cap)
     cfg = OptimizationConfig(iterations=args.iterations,
                              psnr_threshold=args.psnr_threshold,
-                             freeze_attrs=not args.train_all_attrs)
+                             freeze_attrs=args.freeze_attrs)
     os.makedirs(args.model_path, exist_ok=True)
     with open(os.path.join(args.model_path, "cfg.json"), "w") as f:
         f.write(to_json(cfg))

@@ -5,8 +5,10 @@ Functional replacement for the reference's vendored ``utils/stepfun.py``
 ``t`` with log-weights ``w_logits``, CDF integration, inverse-CDF
 sampling. The reference uses it in one place — constant-speed resampling
 of the ellipse camera path (utils/pose_utils.py:345 calls ``sample_np``
-with ``deterministic_center=True``) — but the full sampler is part of its
-public utility surface, so the semantics are reproduced here:
+with the default ``deterministic_center=False``: an endpoint-including
+linspace over ``n_frames + 1`` samples, whose duplicated last sample the
+caller then drops) — but the full sampler is part of its public utility
+surface, so the semantics are reproduced here:
 
 - ``integrate_weights_np(w)``: exclusive cumulative sum clipped to [0, 1]
   with pinned 0/1 endpoints — the CDF of a histogram ``w`` (already
@@ -99,13 +101,18 @@ def resample_const_speed_stepfun(positions: np.ndarray,
                                  n_out: int) -> np.ndarray:
     """Const-speed polyline resampling via the step-function sampler —
     exactly how generate_ellipse_path uses it (pose_utils.py:340-349):
-    knots = [0..N-1], log-weights = log segment lengths, sample interval
-    centers, then linearly interpolate positions at the sampled knots."""
+    knots = [0..N-1], log-weights = log segment lengths, sample_np with
+    the default deterministic_center=False over ``n_out + 1`` levels
+    (a [0, 1-eps] linspace hitting both path endpoints), then drop the
+    duplicated last sample — for a closed path the first and last knots
+    coincide. Positions are linearly interpolated at the sampled knots
+    (the reference re-evaluates its analytic ellipse there; for a dense
+    polyline the lerp is the same operation)."""
     n = positions.shape[0]
     lengths = np.linalg.norm(np.diff(positions, axis=0), axis=-1)
     t = np.arange(n, dtype=np.float64)
-    theta = sample_np(None, t, np.log(np.maximum(lengths, 1e-12)), n_out,
-                      deterministic_center=True)
+    theta = sample_np(None, t, np.log(np.maximum(lengths, 1e-12)),
+                      n_out + 1)[:-1]
     idx = np.clip(np.floor(theta).astype(np.int64), 0, n - 2)
     frac = theta - idx
     return (positions[idx] * (1.0 - frac[:, None])

@@ -74,9 +74,8 @@ def main(argv=None):
         from das3r_tpu.models.croco.convert import convert_torch_state_dict
         from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D
         from das3r_tpu.predictor import alignment, runner
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))), "tests"))
-        from test_croco_model import TINY, random_torch_state_dict
+        from das3r_tpu.models.croco.testkit import (
+            TINY, random_torch_state_dict)
         gen = os.path.join(args.work, "gen")
         make_synthetic_stage1_dir(gen, n_frames=args.frames,
                                   height=args.height, width=args.width)

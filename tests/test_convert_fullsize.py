@@ -14,7 +14,7 @@ import numpy as np
 from das3r_tpu.models.croco.convert import convert_torch_state_dict
 from das3r_tpu.models.croco.dust3r import (AsymmetricCroCo3D,
                                            DUST3R_LARGE_CONFIG)
-from tests.test_croco_model import random_torch_state_dict
+from das3r_tpu.models.croco.testkit import random_torch_state_dict
 
 
 def _tree_spec(tree):

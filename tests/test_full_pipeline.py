@@ -16,7 +16,7 @@ from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D, Dust3rConfig
 from das3r_tpu.predictor import alignment, runner
 from das3r_tpu.train import scene_setup, trainer
 from das3r_tpu.train.config import OptimizationConfig
-from tests.test_croco_model import TINY, random_torch_state_dict
+from das3r_tpu.models.croco.testkit import TINY, random_torch_state_dict
 
 
 @pytest.fixture(scope="module")

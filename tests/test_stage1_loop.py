@@ -12,7 +12,7 @@ from das3r_tpu.models.croco.convert import convert_torch_state_dict
 from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D
 from das3r_tpu.predictor import datasets as ds_mod
 from das3r_tpu.predictor import train_loop, training
-from tests.test_croco_model import TINY, random_torch_state_dict
+from das3r_tpu.models.croco.testkit import TINY, random_torch_state_dict
 
 
 class TestDatasets:

@@ -12,7 +12,7 @@ from das3r_tpu.predictor import training as s1train
 from das3r_tpu.predictor.losses import (Stage1Batch, bce,
                                         conf_regr3d_mmask_loss,
                                         normalize_pointcloud_pair)
-from tests.test_croco_model import TINY, random_torch_state_dict
+from das3r_tpu.models.croco.testkit import TINY, random_torch_state_dict
 
 
 def make_batch(rng, b=2, h=32, w=48):

@@ -225,9 +225,11 @@ class TestTrainStep:
 
 class TestFreezeAttrs:
     def test_freeze_attrs_only_xyz_and_conf_move(self):
-        """create_from_cameras parity (gaussian_model.py:651-659): with
-        freeze_attrs, features/scaling/rotation/opacity stay bit-identical
-        while xyz and conf_static train."""
+        """Opt-in freeze ablation: with freeze_attrs,
+        features/scaling/rotation/opacity stay bit-identical while xyz and
+        conf_static train. (Not reference parity — the reference's
+        requires_grad_(False) at gaussian_model.py:651-659 is undone by
+        nn.Parameter, so it trains all attrs; default is False.)"""
         params, meta, poses, settings = build_synthetic_scene(seed=5)
         bg = jnp.zeros(3)
         fov = jnp.asarray(1.0)
