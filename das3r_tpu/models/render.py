@@ -68,6 +68,9 @@ def render(
     gauss_axis: str | None = None,  # mesh axis the Gaussian axis is sharded
                                     # over (params/preprocess shard-local,
                                     # prep outputs all-gathered)
+    mesh=None,                     # Mesh owning tile_axis: enables the
+                                   # shard_map'd Pallas entry-stream blend
+    backend: str = "auto",
 ) -> RenderOutput:
     """One differentiable render of the scene from ``camera_pose``.
 
@@ -126,6 +129,7 @@ def render(
         tan_fovx=tfx, tan_fovy=tfy,
         shs=shs, colors_precomp=colors_precomp,
         scales=activated_scaling(params), rotations=rot_cam,
-        mean2d_offset=offset, tile_axis=tile_axis, gauss_axis=gauss_axis)
+        mean2d_offset=offset, tile_axis=tile_axis, gauss_axis=gauss_axis,
+        mesh=mesh, backend=backend)
     return RenderOutput(image=img, radii=radii,
                         mean2d_grad_capture=offset, aux=aux)

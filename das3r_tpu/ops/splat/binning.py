@@ -60,7 +60,10 @@ class TileBins(NamedTuple):
     count: jax.Array      # [T] int32 live slots (at [delta, delta+count))
     full_count: jax.Array  # [T] int32 pre-truncation count (overflow telemetry)
     dup_overflow: jax.Array  # [] int32 Gaussians whose rect was cut by D
-    entry_overflow: jax.Array  # [] int32 entries dropped by max_total_entries
+    entry_overflow: jax.Array  # [] int32 entries past max_total_entries
+    #                            (dropped on the capacity-bound compact /
+    #                            entry-stream paths; telemetry-only on the
+    #                            exact full-sort path)
 
 
 def gids(bins: TileBins) -> jax.Array:
@@ -340,6 +343,16 @@ def _sorted_key_stream(prep: Preprocessed,
         sorted_packed = jax.lax.sort(
             _pad128(packed.reshape(-1), sentinel, extra=s.max_per_tile + 128),
             dimension=0)
+        if s.max_total_entries is not None:
+            # The full sort drops nothing, but the cap-exceedance telemetry
+            # must still fire: max_total_entries sizes the TPU entry stream
+            # (and the compact buffer above), and the trainer's auto-regrow
+            # watches this signal — the CPU/XLA full-sort path has to report
+            # the same "scene outgrew its probed capacity" condition so the
+            # regrow logic is exercised identically off-TPU.
+            total = jnp.sum(dup_valid.astype(jnp.int32))
+            entry_overflow = jnp.maximum(
+                total - s.max_total_entries, 0).astype(jnp.int32)
     return SortedKeyStream(sorted_packed=sorted_packed, order=order,
                            boundaries=boundaries, nbits=nbits,
                            sentinel=sentinel, dup_overflow=dup_overflow,
@@ -513,23 +526,34 @@ def _extract_chunks_pallas(keys2d: jax.Array, src_row: jax.Array,
     )(src_row.astype(jnp.int32), delta.astype(jnp.int32), keys2d)
 
 
-def bin_entry_stream(prep: Preprocessed,
-                     settings: RasterSettings) -> EntryStream:
+def entry_stream_from_keys(ks: SortedKeyStream, settings: RasterSettings,
+                           n: int, e_al: int, tile0=0,
+                           t_loc: int | None = None) -> EntryStream:
+    """Lay out the 128-aligned entry stream for tiles
+    [tile0, tile0 + t_loc) from an already-sorted key stream.
+
+    ``tile0`` may be a traced scalar (tile-sharded callers pass
+    ``axis_index * t_loc`` inside ``shard_map``); ``t_loc`` and ``e_al``
+    are static. ``chunk_tile`` carries LOCAL tile indices (void = t_loc) —
+    the blend kernels recover global pixel coordinates from ``tile0``.
+    The whole-image case is tile0 = 0, t_loc = settings.n_tiles."""
     s = settings
-    n = prep.depth.shape[0]
-    ks = _sorted_key_stream(prep, settings)
-    if ks is None:
-        raise ValueError(
-            "entry-stream binning needs (n_tiles + 1) << ceil(log2 N) to "
-            "fit 32 bits; use the [T, K] window path for this geometry")
-    e_al = entry_stream_cap(s, n)
+    if t_loc is None:
+        t_loc = s.n_tiles
     keys = ks.sorted_packed
 
-    bounds = jnp.searchsorted(keys, ks.boundaries, side="left")
+    # Local boundary key values: tile ids beyond the image (tile-count
+    # padding on the last shard) clamp to the global sentinel boundary,
+    # giving those tiles empty [start, end) ranges.
+    tile0 = jnp.asarray(tile0, jnp.uint32)
+    local_ids = jnp.minimum(tile0 + jnp.arange(t_loc + 1, dtype=jnp.uint32),
+                            jnp.uint32(s.n_tiles))
+    boundaries = local_ids << ks.nbits
+    bounds = jnp.searchsorted(keys, boundaries, side="left")
     start, end = bounds[:-1], bounds[1:]
-    count_raw = (end - start).astype(jnp.int32)              # [T] uncapped
+    count_raw = (end - start).astype(jnp.int32)              # [t_loc] uncapped
     ccount = ((count_raw + 127) // 128) * 128
-    astart = jnp.cumsum(ccount) - ccount                     # [T]
+    astart = jnp.cumsum(ccount) - ccount                     # [t_loc]
     total = astart[-1] + ccount[-1]
     # Tiles whose aligned segment crosses the static stream capacity lose
     # their tail (reported via entry_overflow) — the same farthest-first
@@ -547,13 +571,13 @@ def bin_entry_stream(prep: Preprocessed,
     # empty tiles scatter the neutral 0 (their astart may alias the clipped
     # last chunk when the stream is full); chunk 0's owner is found anyway
     # because the forward-fill starts at 0 and void chunks are masked below
-    tile_iota = jnp.arange(s.n_tiles, dtype=jnp.int32)
+    tile_iota = jnp.arange(t_loc, dtype=jnp.int32)
     marks = jnp.zeros((n_chunks,), jnp.int32).at[first_chunk].max(
         jnp.where(count > 0, tile_iota, 0))
     owner = jax.lax.associative_scan(jnp.maximum, marks)     # [n_chunks]
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
     chunk_live = chunk_ids * 128 < total
-    chunk_tile = jnp.where(chunk_live, owner, s.n_tiles).astype(jnp.int32)
+    chunk_tile = jnp.where(chunk_live, owner, t_loc).astype(jnp.int32)
 
     # Per-slot sorted-array source position: chunk c's 128 keys start at
     # cbase[c] + c*128 (cbase = start - astart of the owning tile). The
@@ -576,6 +600,18 @@ def bin_entry_stream(prep: Preprocessed,
     return EntryStream(rank=rank, chunk_tile=chunk_tile, order=ks.order,
                        count=count, dup_overflow=ks.dup_overflow,
                        entry_overflow=ks.entry_overflow + stream_drop)
+
+
+def bin_entry_stream(prep: Preprocessed,
+                     settings: RasterSettings) -> EntryStream:
+    s = settings
+    n = prep.depth.shape[0]
+    ks = _sorted_key_stream(prep, settings)
+    if ks is None:
+        raise ValueError(
+            "entry-stream binning needs (n_tiles + 1) << ceil(log2 N) to "
+            "fit 32 bits; use the [T, K] window path for this geometry")
+    return entry_stream_from_keys(ks, s, n, entry_stream_cap(s, n))
 
 
 def _bin_quantized_depth(prep: Preprocessed,

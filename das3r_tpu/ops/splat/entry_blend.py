@@ -105,16 +105,22 @@ PACK = 8   # tile-row packing: rows 0-2 = premultiplied color, row 3 =
            # slices must be whole multiples of the (8, 128) tile)
 
 
-def _forward_kernel(chunk_tile_ref, attrs_ref, out_ref, tin_ref,
+def _forward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, out_ref, tin_ref,
                     cacc, tacc, stage, cur, sems,
-                    *, settings: RasterSettings, n_blocks: int):
+                    *, settings: RasterSettings, n_blocks: int,
+                    n_tiles_out: int):
+    """``chunk_tile`` carries tile indices LOCAL to this kernel's output
+    (``n_tiles_out`` rows; void chunks = ``n_tiles_out``); ``tile0`` is the
+    global index of local tile 0 — pixel coordinates come from the global
+    tile grid, so a tile-sharded caller passes its shard's range start.
+    The unsharded path uses tile0 = 0, n_tiles_out = settings.n_tiles."""
     s = settings
     P = s.tile * s.tile
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
-        cur[0] = s.n_tiles        # sentinel: nothing to flush yet
+        cur[0] = n_tiles_out      # sentinel: nothing to flush yet
         stage[4:PACK, :] = jnp.zeros((PACK - 4, P), jnp.float32)
 
     def flush(tile):
@@ -132,7 +138,7 @@ def _forward_kernel(chunk_tile_ref, attrs_ref, out_ref, tin_ref,
         prev = cur[0]
         change = tid != prev
 
-        @pl.when(change & (prev < s.n_tiles))
+        @pl.when(change & (prev < n_tiles_out))
         def _(prev=prev):
             flush(prev)
 
@@ -145,10 +151,10 @@ def _forward_kernel(chunk_tile_ref, attrs_ref, out_ref, tin_ref,
         tin_ref[i] = tacc[...]
         T_in = tacc[...]
 
-        @pl.when((tid < s.n_tiles)
+        @pl.when((tid < n_tiles_out)
                  & (jnp.max(T_in) >= s.transmittance_eps))
         def _(tid=tid, i=i, T_in=T_in):
-            px, py = _pixel_coords(s, tid)
+            px, py = _pixel_coords(s, tile0_ref[0] + tid)
             (_, _, _, _, _, cum_before, t_after, contribute,
              w) = _chunk_math(attrs_ref, px, py, i, T_in, s)
             sl = pl.ds(i * CHUNK, CHUNK)
@@ -161,17 +167,19 @@ def _forward_kernel(chunk_tile_ref, attrs_ref, out_ref, tin_ref,
             t_cand = jnp.where(contribute, t_after, T_in)
             tacc[...] = jnp.min(t_cand, axis=1, keepdims=True)
 
-    @pl.when((g == n_blocks - 1) & (cur[0] < s.n_tiles))
+    @pl.when((g == n_blocks - 1) & (cur[0] < n_tiles_out))
     def _():
         flush(cur[0])
 
 
-def _backward_kernel(chunk_tile_ref, attrs_ref, tin_ref, cot_ref, saved_ref,
-                     gattrs_ref, svec, gvec, cstage, ostage, cur, sems,
-                     *, settings: RasterSettings, n_blocks: int):
+def _backward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, tin_ref, cot_ref,
+                     saved_ref, gattrs_ref, svec, gvec, cstage, ostage, cur,
+                     sems, *, settings: RasterSettings, n_blocks: int,
+                     n_tiles_out: int):
     """Reverse sweep. Blocks arrive in reverse stream order (index_map),
     chunks are processed 7..0 within each block; ``svec`` carries the
-    suffix accumulator of the current tile across chunk/block boundaries."""
+    suffix accumulator of the current tile across chunk/block boundaries.
+    Tile indexing is local (see ``_forward_kernel``)."""
     s = settings
     P = s.tile * s.tile
     g = pl.program_id(0)
@@ -179,7 +187,7 @@ def _backward_kernel(chunk_tile_ref, attrs_ref, tin_ref, cot_ref, saved_ref,
 
     @pl.when(g == 0)
     def _():
-        cur[0] = s.n_tiles
+        cur[0] = n_tiles_out
 
     for i in reversed(range(BLOCK // CHUNK)):
         cidx = (n_blocks - 1 - g) * (BLOCK // CHUNK) + i
@@ -189,7 +197,7 @@ def _backward_kernel(chunk_tile_ref, attrs_ref, tin_ref, cot_ref, saved_ref,
         # 0-2 = gC, row 3 = gT) and the saved packed forward output (row 3
         # = T_final); seed the suffix S = gT * T_final (the bg term rides
         # the external composition).
-        @pl.when((tid != cur[0]) & (tid < s.n_tiles))
+        @pl.when((tid != cur[0]) & (tid < n_tiles_out))
         def _(tid=tid):
             c1 = pltpu.make_async_copy(cot_ref.at[tid], cstage, sems.at[0])
             c2 = pltpu.make_async_copy(saved_ref.at[tid], ostage, sems.at[1])
@@ -204,10 +212,10 @@ def _backward_kernel(chunk_tile_ref, attrs_ref, tin_ref, cot_ref, saved_ref,
         def _(tid=tid):
             cur[0] = tid
 
-        @pl.when(tid < s.n_tiles)
+        @pl.when(tid < n_tiles_out)
         def _(tid=tid, i=i):
             T_in = tin_ref[i]
-            px, py = _pixel_coords(s, tid)
+            px, py = _pixel_coords(s, tile0_ref[0] + tid)
             (dx, dy, alpha_raw, a, one_m, cum_before, _, contribute,
              w) = _chunk_math(attrs_ref, px, py, i, T_in, s)
             gcv = gvec[...]                              # [P, 3]
@@ -245,23 +253,24 @@ def _backward_kernel(chunk_tile_ref, attrs_ref, tin_ref, cot_ref, saved_ref,
             svec[...] = jnp.sum(e, axis=1, keepdims=True) + svec[...]
 
 
-def _forward_impl(attrs, chunk_tile, settings: RasterSettings):
+def _forward_impl(attrs, chunk_tile, tile0, settings: RasterSettings,
+                  n_tiles_out: int):
     s = settings
     P = s.tile * s.tile
     n_blocks = attrs.shape[0]
     e_al = n_blocks * BLOCK
     kernel = functools.partial(_forward_kernel, settings=s,
-                               n_blocks=n_blocks)
+                               n_blocks=n_blocks, n_tiles_out=n_tiles_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((None, N_ATTR, BLOCK), lambda g, c: (g, 0, 0),
+            pl.BlockSpec((None, N_ATTR, BLOCK), lambda g, c, t0: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((BLOCK // CHUNK, P, 1), lambda g, c: (g, 0, 0),
+            pl.BlockSpec((BLOCK // CHUNK, P, 1), lambda g, c, t0: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -276,25 +285,25 @@ def _forward_impl(attrs, chunk_tile, settings: RasterSettings):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((s.n_tiles, PACK, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_out, PACK, P), jnp.float32),
             jax.ShapeDtypeStruct((e_al // CHUNK, P, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(chunk_tile, attrs)
+    )(chunk_tile, tile0, attrs)
     return packed, tin
 
 
-def _backward_impl(attrs, chunk_tile, tin, cot, saved,
-                   settings: RasterSettings):
+def _backward_impl(attrs, chunk_tile, tile0, tin, cot, saved,
+                   settings: RasterSettings, n_tiles_out: int):
     s = settings
     P = s.tile * s.tile
     n_blocks = attrs.shape[0]
     e_al = n_blocks * BLOCK
     kernel = functools.partial(_backward_kernel, settings=s,
-                               n_blocks=n_blocks)
-    rev = lambda g, c: (n_blocks - 1 - g, 0, 0)          # noqa: E731
+                               n_blocks=n_blocks, n_tiles_out=n_tiles_out)
+    rev = lambda g, c, t0: (n_blocks - 1 - g, 0, 0)      # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((None, N_ATTR, BLOCK), rev,
@@ -321,56 +330,73 @@ def _backward_impl(attrs, chunk_tile, tin, cot, saved,
         out_shape=jax.ShapeDtypeStruct((n_blocks, N_ATTR, BLOCK),
                                        jnp.float32),
         interpret=_interpret(),
-    )(chunk_tile, attrs, tin, cot, saved)
+    )(chunk_tile, tile0, attrs, tin, cot, saved)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def blend_entry_stream(table, rank, chunk_tile, settings: RasterSettings):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def blend_entry_stream(table, rank, chunk_tile, tile0,
+                       settings: RasterSettings, n_tiles_out: int):
     """table [N+1, 9] (row N = zero sentinel for pad slots), rank [E_al]
-    int32, chunk_tile [E_al/128] int32 -> packed [T, PACK, P] tile rows
-    (rows 0-2 = premultiplied color, row 3 = final transmittance, rows
-    4-7 pad), UNDEFINED for empty tiles (count == 0) — callers mask with
-    the per-tile count and compose ``cpre + tfinal * bg`` externally.
-    Gradients flow to ``table``."""
-    packed, _, _ = _fwd_impl_full(table, rank, chunk_tile, settings)
+    int32, chunk_tile [E_al/128] int32 (tile ids LOCAL to this call's
+    output; void = n_tiles_out), tile0 [1] int32 (global index of local
+    tile 0 — pixel coords come from the global grid) -> packed
+    [n_tiles_out, PACK, P] tile rows (rows 0-2 = premultiplied color,
+    row 3 = final transmittance, rows 4-7 pad), UNDEFINED for empty tiles
+    (count == 0) — callers mask with the per-tile count and compose
+    ``cpre + tfinal * bg`` externally. Gradients flow to ``table``."""
+    packed, _, _ = _fwd_impl_full(table, rank, chunk_tile, tile0, settings,
+                                  n_tiles_out)
     return packed
 
 
-def _fwd_impl_full(table, rank, chunk_tile, settings):
+def _fwd_impl_full(table, rank, chunk_tile, tile0, settings, n_tiles_out):
     # [E_al/B, 9, B]: batched per-block transposes (a single global
     # [E, 9] -> [9, E] transpose measured ~10 ms on TPU; batched is ~free)
     attrs = jnp.swapaxes(
         table[rank].reshape(-1, BLOCK, N_ATTR), 1, 2)
-    packed, tin = _forward_impl(attrs, chunk_tile, settings)
+    packed, tin = _forward_impl(attrs, chunk_tile, tile0, settings,
+                                n_tiles_out)
     return packed, attrs, tin
 
 
-def _fwd(table, rank, chunk_tile, settings):
-    packed, attrs, tin = _fwd_impl_full(table, rank, chunk_tile, settings)
-    return packed, (attrs, tin, packed, rank, chunk_tile, table.shape[0])
+def _fwd(table, rank, chunk_tile, tile0, settings, n_tiles_out):
+    packed, attrs, tin = _fwd_impl_full(table, rank, chunk_tile, tile0,
+                                        settings, n_tiles_out)
+    return packed, (attrs, tin, packed, rank, chunk_tile, tile0,
+                    table.shape[0])
 
 
-def _bwd(settings, res, cot):
-    attrs, tin, packed, rank, chunk_tile, n_rows = res
-    gattrs = _backward_impl(attrs, chunk_tile, tin, cot, packed, settings)
+def _bwd(settings, n_tiles_out, res, cot):
+    attrs, tin, packed, rank, chunk_tile, tile0, n_rows = res
+    gattrs = _backward_impl(attrs, chunk_tile, tile0, tin, cot, packed,
+                            settings, n_tiles_out)
     g_rows = jnp.swapaxes(gattrs, 1, 2).reshape(-1, N_ATTR)   # [E_al, 9]
     g_table = jnp.zeros((n_rows, N_ATTR), jnp.float32).at[rank].add(g_rows)
-    return g_table, None, None
+    return g_table, None, None, None
 
 
 blend_entry_stream.defvjp(_fwd, _bwd)
 
 
-def render_tiles(table, stream, bg, settings: RasterSettings):
+def render_tiles(table, stream, bg, settings: RasterSettings,
+                 tile0=None, n_tiles_out: int | None = None):
     """Empty-tile-safe wrapper around ``blend_entry_stream``: tiles with no
     entries are never flushed by the kernel (their HBM rows are
     uninitialized), so mask them to the (cpre=0, tfinal=1) background case
     before the caller's ``cpre + tfinal * bg`` composition. ``bg`` is
     accepted for signature symmetry but composed by the caller so its
-    gradient rides ordinary autodiff."""
+    gradient rides ordinary autodiff.
+
+    ``tile0``/``n_tiles_out``: tile-sharded callers pass their shard's
+    global range start and local tile count (stream.chunk_tile must carry
+    local ids); default = whole image."""
     del bg
+    if n_tiles_out is None:
+        n_tiles_out = settings.n_tiles
+    if tile0 is None:
+        tile0 = jnp.zeros((1,), jnp.int32)
     packed = blend_entry_stream(table, stream.rank, stream.chunk_tile,
-                                settings)
+                                tile0, settings, n_tiles_out)
     nonempty = (stream.count > 0)[:, None, None]
     cpre = jnp.where(nonempty, packed[:, 0:3, :], 0.0)
     tfinal = jnp.where(nonempty, packed[:, 3:4, :], 1.0)

@@ -59,6 +59,7 @@ def rasterize(
     tile_batch: int = 256,
     tile_axis: str | None = None,
     gauss_axis: str | None = None,
+    mesh=None,
     backend: str = "auto",   # auto | xla | pallas
 ):
     """Render N Gaussians -> ([3, H, W] image, [N] int32 radii, RasterAux).
@@ -68,6 +69,13 @@ def rasterize(
     per-Gaussian screen-space outputs are all-gathered here (binning's sort
     is global); the transpose reduce-scatters per-Gaussian gradients back
     to the shards where the params/Adam state live (SURVEY.md §2.8).
+
+    ``tile_axis`` (+ ``mesh``): mesh axis to shard image tiles over. With
+    the Pallas backend the entry stream is split at tile-range boundaries
+    and each shard walks its contiguous sub-stream under ``shard_map``
+    (``mesh`` must be the Mesh owning ``tile_axis``); per-Gaussian
+    gradients reduce over the axis at the replicated table's transpose.
+    Without a mesh the XLA blend with GSPMD sharding constraints is used.
     """
     p = prep_mod.preprocess(
         means3d, opacities, settings,
@@ -86,10 +94,15 @@ def rasterize(
                 x, P_(*([None] * x.ndim))), p)
 
     if backend == "auto":
-        backend = "pallas" if (tile_axis is None
-                               and jax.default_backend() == "tpu") else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    if (backend == "pallas" and settings.entry_stream
+    if (backend == "pallas" and tile_axis is not None and mesh is not None
+            and settings.entry_stream
+            and binning.entry_stream_supported(means3d.shape[0], settings)):
+        return _entry_stream_sharded(p, settings, bg, mesh, tile_axis)
+
+    if (backend == "pallas" and tile_axis is None
+            and settings.entry_stream
             and binning.entry_stream_supported(means3d.shape[0], settings)):
         from das3r_tpu.ops.splat import entry_blend
         es = jax.tree.map(
@@ -115,6 +128,12 @@ def rasterize(
             entry_overflow=es.entry_overflow,
         )
         return img, p.radius, aux
+
+    if backend == "pallas" and tile_axis is not None:
+        # tile-sharded without a mesh (or without entry-stream support):
+        # the [T, K] Pallas window kernel has no shard_map wrapper, so the
+        # GSPMD-constrained XLA blend is the sharded fallback.
+        backend = "xla"
 
     bins = jax.tree.map(
         jax.lax.stop_gradient,
@@ -153,5 +172,76 @@ def rasterize(
             (bins.full_count > settings.max_per_tile).astype(jnp.int32)),
         dup_overflow=bins.dup_overflow,
         entry_overflow=bins.entry_overflow,
+    )
+    return img, p.radius, aux
+
+
+def _entry_stream_sharded(p, settings: RasterSettings, bg, mesh, tile_axis):
+    """Tile-sharded entry-stream render (SURVEY.md §2.8, VERDICT r2 #2).
+
+    The global (tile-major, depth-minor) key sort runs replicated — it is
+    cheap relative to the blend and its result is needed by every shard's
+    searchsorted — then ``shard_map`` (manual over ``tile_axis`` only)
+    gives each device a contiguous range of ceil(T / ndev) tiles: the
+    shard lays out its own 128-aligned sub-stream (capacity
+    ``settings.entries_per_shard`` or the full global cap), walks it with
+    the same Pallas kernels as the unsharded path (local output rows,
+    global pixel coordinates via ``tile0``), and emits its tile rows.
+
+    Gradients: the depth-rank attribute table enters the shard_map
+    replicated, so its cotangent — each shard's scatter-add of per-entry
+    gradients — is automatically psum'd over ``tile_axis``: exactly the
+    per-Gaussian gradient reduction SURVEY §2.8 calls for, and XLA
+    overlaps it with the blend backward."""
+    from das3r_tpu.ops.splat import entry_blend
+    from jax.sharding import PartitionSpec as P_
+
+    s = settings
+    n = p.depth.shape[0]
+    ndev = mesh.shape[tile_axis]
+    t_loc = -(-s.n_tiles // ndev)
+    e_al_loc = s.entries_per_shard or binning.entry_stream_cap(s, n)
+    e_al_loc = -(-e_al_loc // 1024) * 1024
+
+    # p is stop_gradient-ed at the call, so every ks array is grad-free;
+    # no tree-wide stop_gradient (it would trace the static nbits int).
+    ks = binning._sorted_key_stream(jax.lax.stop_gradient(p), settings)
+    if ks is None:
+        raise ValueError("entry-stream not packable for this geometry")
+    attr_mat = jnp.concatenate(
+        [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
+    table = jax.lax.optimization_barrier(jnp.concatenate(
+        [attr_mat[ks.order], jnp.zeros((1, attr_mat.shape[1]),
+                                       attr_mat.dtype)]))
+    nbits = ks.nbits
+
+    def body(table, keys, bg):
+        i = jax.lax.axis_index(tile_axis)
+        tile0 = (i * t_loc).astype(jnp.int32)
+        ks_loc = binning.SortedKeyStream(
+            sorted_packed=keys, order=None, boundaries=None, nbits=nbits,
+            sentinel=None, dup_overflow=jnp.zeros((), jnp.int32),
+            entry_overflow=jnp.zeros((), jnp.int32))
+        es = binning.entry_stream_from_keys(
+            ks_loc, s, n, e_al_loc, tile0=tile0, t_loc=t_loc)
+        cpre, tfinal = entry_blend.render_tiles(
+            table, es, bg, s, tile0=tile0.reshape(1), n_tiles_out=t_loc)
+        tiles = cpre + tfinal * bg.reshape(1, 3, 1)      # [t_loc, 3, P]
+        return tiles, es.count, es.entry_overflow.reshape(1)
+
+    tiles, count, drop = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(), P_(), P_()),
+        out_specs=(P_(tile_axis), P_(tile_axis), P_(tile_axis)),
+        axis_names={tile_axis}, check_vma=False,
+    )(table, ks.sorted_packed, bg)
+
+    img = blend.assemble_image(
+        jnp.swapaxes(tiles[: s.n_tiles], 1, 2), settings)
+    aux = RasterAux(
+        n_contrib_tiles=count[: s.n_tiles],
+        tile_overflow=jnp.zeros((), jnp.int32),   # no per-tile capacity
+        dup_overflow=ks.dup_overflow,
+        entry_overflow=ks.entry_overflow + jnp.sum(drop),
     )
     return img, p.radius, aux

@@ -82,6 +82,15 @@ class RasterSettings:
     # is used otherwise. Exact depth ranks are always used here
     # (``depth_sort_bits`` is ignored by the stream).
     entry_stream: bool = True
+    # Per-shard stream capacity for TILE-SHARDED entry-stream rendering
+    # (each shard of the mesh's tile axis walks its own contiguous
+    # sub-stream; see rasterize._entry_stream_sharded). None = the full
+    # ``entry_stream_cap`` per shard — always correct but no memory
+    # scaling; set (e.g. by the autosize probe's sharded mode) to bound
+    # each shard at its measured local occupancy. Rounded up to 1024.
+    # Tiles crossing a shard's cap lose their tail with entry_overflow
+    # telemetry, same policy as the global cap.
+    entries_per_shard: int | None = None
 
     @property
     def tiles_x(self) -> int:

@@ -66,19 +66,25 @@ def gauss_meta_spec(mesh: Mesh, axis: str = "gauss"):
 def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
                             cfg: OptimizationConfig,
                             spatial_lr_scale: float = 1.0,
-                            gauss_axis: str | None = None):
+                            gauss_axis: str | None = None,
+                            backend: str = "auto"):
     """Returns a jitted step(state, meta, uids[B], gts[B,3,H,W], fovx[B],
     fovy[B], bg) -> (state, metrics) with inputs sharded over ``data``,
     each frame's tiles sharded over ``tile``, and — when ``gauss_axis`` is
     given — Gaussian params/Adam state/preprocess sharded over that axis
     (capacity must be divisible by the axis size; ``init_from_frames``
-    rounds capacity to 4096)."""
+    rounds capacity to 4096).
+
+    ``backend``: 'pallas' runs each render's blend through the shard_map'd
+    entry-stream kernels (tile ranges split per device; interpret mode
+    off-TPU); 'auto' picks Pallas on TPU, XLA elsewhere."""
 
     def per_frame_loss(params, poses, meta, uid, gt, fx, fy, bg):
         pose = poses.pose(uid)
         out = render_mod.render(params, meta, settings, pose, bg, fx, fy,
                                 mode="train", tile_axis="tile",
-                                gauss_axis=gauss_axis)
+                                gauss_axis=gauss_axis, mesh=mesh,
+                                backend=backend)
         static = params.conf_static[uid]
         # Replicate the assembled image before the loss: the SSIM window
         # stencil would otherwise be spatially partitioned, and its halo
@@ -90,7 +96,7 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
             out.image, jax.sharding.NamedSharding(mesh, P()))
         ph = loss_mod.photometric_loss(img, gt, static,
                                        cfg.lambda_dssim)
-        return ph.loss, ph.psnr_frame
+        return ph.loss, ph.psnr_frame, out.aux.entry_overflow
 
     state_spec = (gauss_state_spec(mesh, gauss_axis) if gauss_axis
                   else replicated(mesh))
@@ -109,13 +115,15 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
         gstep = state.step + 1
 
         def loss_fn(params, poses):
-            losses, psnrs = jax.vmap(
+            losses, psnrs, overflows = jax.vmap(
                 per_frame_loss, in_axes=(None, None, None, 0, 0, 0, 0, None)
             )(params, poses, meta, uids, gts, fovx, fovy, bg)
-            return losses.mean(), psnrs.mean()
+            return losses.mean(), (psnrs.mean(), overflows.max())
 
-        (lossv, psnr_mean), (g_params, g_poses) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.poses)
+        (lossv, (psnr_mean, overflow)), (g_params, g_poses) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.poses)
 
         new_params, new_opt = optim.adam_step(
             state.params, g_params, state.opt,
@@ -130,20 +138,22 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
             opt_cam=new_opt_cam, step=gstep)
         metrics = step_mod.StepMetrics(
             loss=lossv, psnr=psnr_mean, cam_stepped=gate,
-            radii_nonzero=jnp.zeros((), jnp.int32))
+            radii_nonzero=jnp.zeros((), jnp.int32),
+            entry_overflow=overflow)
         return new_state, metrics
 
     return step
 
 
-def make_sharded_render(mesh: Mesh, settings: RasterSettings):
-    """Single-frame render with tiles sharded over the WHOLE mesh (both axes
-    flattened) — max pixel parallelism for interactive/eval rendering."""
+def make_sharded_render(mesh: Mesh, settings: RasterSettings,
+                        backend: str = "auto"):
+    """Single-frame render with tiles sharded over the mesh's tile axis."""
 
     @functools.partial(jax.jit, out_shardings=replicated(mesh))
     def render_fn(params, meta, pose, bg, fovx, fovy):
         out = render_mod.render(params, meta, settings, pose, bg, fovx,
-                                fovy, mode="train", tile_axis="tile")
+                                fovy, mode="train", tile_axis="tile",
+                                mesh=mesh, backend=backend)
         return out.image
 
     return render_fn
