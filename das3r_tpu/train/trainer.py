@@ -49,6 +49,9 @@ class TrainResult:
     last_loss: float
     test_psnr: float | None
     iters_per_sec: float
+    # settings as of the last chunk — reflects sh-degree bumps and any
+    # entry-capacity regrowth (auto-resize on sustained entry_overflow)
+    final_settings: object | None = None
 
 
 def _to_device_stack(a):
@@ -292,8 +295,30 @@ def train_scene(
                     os.path.join(model_path, f"chkpnt{ev}.npz"), state,
                     meta=meta)
 
-        if log_every and (start // log_every != end // log_every
-                          or end == cfg.iterations):
+        at_log = log_every and (start // log_every != end // log_every
+                                or end == cfg.iterations)
+        # Entry-overflow watch -> auto-regrow (the TPU analog of the CUDA
+        # rasterizer's resizeFunctional dynamic buffer growth: the probe in
+        # models/autosize.py sizes the stream for the INITIAL occupancy,
+        # but Gaussians move and densification multiplies them). Checked
+        # only where metrics are fetched anyway (first pending chunk + log
+        # points) — each device->host fetch costs up to seconds through
+        # remote transports, so no per-chunk sync is added.
+        if settings.max_total_entries is not None and (
+                at_log or (todo and start == todo[0][0])):
+            drop = int(np.asarray(metrics.entry_overflow).max())
+            if drop > 0:
+                old = settings.max_total_entries
+                new_cap = -(-max(int((old + drop) * 1.3), old + 1024)
+                            // 1024) * 1024
+                settings = dataclasses.replace(settings,
+                                               max_total_entries=new_cap)
+                progress(f"[ITER {end}] entry overflow {drop}: regrow "
+                         f"max_total_entries {old} -> {new_cap} "
+                         f"(recompile at next chunk)")
+                tblog.scalars(tb_writer, end, train__entry_overflow=drop,
+                              train__entry_cap=new_cap)
+        if at_log:
             lossv = float(np.asarray(metrics.loss)[-1])
             psnrv = float(np.asarray(metrics.psnr)[-1])
             progress(f"[ITER {end}] loss {lossv:.5f} psnr {psnrv:.2f}")
@@ -307,7 +332,8 @@ def train_scene(
     n_done = max(cfg.iterations - first_iter, 1)
     return TrainResult(state=state, test_pose_state=tp_state,
                        last_loss=last_loss, test_psnr=test_psnr_last,
-                       iters_per_sec=n_done / max(dt, 1e-9))
+                       iters_per_sec=n_done / max(dt, 1e-9),
+                       final_settings=settings)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))

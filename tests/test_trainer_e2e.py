@@ -90,20 +90,73 @@ def test_no_optim_test_pose_reference_parity(scene_dir):
 
 
 def test_training_improves_on_static_scene(scene_dir, tmp_path):
-    """Longer run on the train split only: loss must drop substantially."""
+    """Longer run on the train split only: loss must drop substantially.
+
+    ``max_points=4096`` keeps the per-tile occupancy under the CPU [T, K]
+    window path's max_per_tile=512 (12 frames x 3072 px unprojected =
+    36864 Gaussians over this fixture's 12 tiles would put ~3072 entries
+    in every tile, so K=512 silently drops ~83% of them — diagnosed in
+    round 3: the untruncated trainer reaches loss ratio 0.05 / 33 dB PSNR
+    in these 120 iters, while the truncated one crawls at ratio 0.84
+    because most Gaussians never receive a gradient). The TPU entry-stream
+    path has no per-tile capacity and never truncates; this test should
+    measure trainer health, not window-truncation starvation."""
     data = readers.load_scene(scene_dir, eval_mode=False)
     bundle = scene_setup.build_scene(data, sh_degree=0, conf_thre=1.0,
                                      max_per_tile=512,
-                                     max_tiles_per_gaussian=16)
+                                     max_tiles_per_gaussian=16,
+                                     max_points=4096)
     cfg = OptimizationConfig(iterations=120, psnr_threshold=15.0)
     losses = []
     result = trainer.train_scene(
         bundle, cfg, model_path=None, log_every=10,
         progress=lambda msg: losses.append(
             float(msg.split("loss ")[1].split(" ")[0])))
-    # the moving object sets a loss floor for a static model; require a
-    # solid drop rather than a specific ratio
-    assert losses[-1] < losses[0] * 0.8
+    # measured healthy trajectory: ratio 0.048 (first log-point 0.181 ->
+    # 0.0087 at iter 120); 0.5 leaves a 10x margin over healthy while
+    # still failing any truncation-starved (ratio ~0.84) regression
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_entry_overflow_auto_regrow(scene_dir):
+    """A scene engineered to outgrow its entry capacity triggers the
+    trainer's auto-regrow (the TPU analog of the CUDA rasterizer's
+    resizeFunctional): max_total_entries grows past the starved cap and
+    the post-regrow render matches the large-cap render (VERDICT r2
+    missing #5 done-condition)."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from das3r_tpu.models import render as render_mod
+
+    data = readers.load_scene(scene_dir, eval_mode=False)
+    bundle = scene_setup.build_scene(data, sh_degree=0, conf_thre=1.0,
+                                     max_per_tile=512,
+                                     max_tiles_per_gaussian=16,
+                                     max_points=4096,
+                                     entry_cap=2048)  # deliberately starved
+    assert bundle.settings.max_total_entries == 2048
+    cfg = OptimizationConfig(iterations=24, psnr_threshold=15.0)
+    msgs = []
+    result = trainer.train_scene(bundle, cfg, model_path=None, log_every=1,
+                                 progress=msgs.append)
+    assert any("regrow max_total_entries" in m for m in msgs), msgs
+    final = result.final_settings
+    assert final.max_total_entries > 2048
+
+    # the regrown capacity renders identically to a generous cap
+    bg = jnp.zeros(3)
+    fovx = jnp.asarray(bundle.train_data.fovx[0], jnp.float32)
+    fovy = jnp.asarray(bundle.train_data.fovy[0], jnp.float32)
+    img_regrown = render_mod.render(
+        result.state.params, bundle.meta, final,
+        result.state.poses.pose(0), bg, fovx, fovy, mode="train")
+    big = _dc.replace(final, max_total_entries=4096 * 64)
+    img_big = render_mod.render(
+        result.state.params, bundle.meta, big,
+        result.state.poses.pose(0), bg, fovx, fovy, mode="train")
+    np.testing.assert_allclose(np.asarray(img_regrown.image),
+                               np.asarray(img_big.image), atol=1e-6)
+    assert int(img_regrown.aux.entry_overflow) == 0
 
 
 def test_densify_in_trainer(scene_dir, tmp_path):
