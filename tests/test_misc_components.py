@@ -90,8 +90,29 @@ class TestMultihost:
         import jax
         from das3r_tpu.parallel import multihost
         mesh = multihost.global_mesh()
-        assert mesh.shape["data"] * mesh.shape["tile"] == len(jax.devices())
+        assert (mesh.shape["data"] * mesh.shape["gauss"] * mesh.shape["tile"]
+                == len(jax.devices()))
         assert multihost.is_primary()
+
+    def test_global_mesh_gauss_axis_config4(self):
+        """The multi-host entry can express BASELINE config[4]'s sharding:
+        gauss x tile inside the (single-process) host block, mirroring
+        make_mesh's 3-axis behavior (VERDICT r2 missing #4)."""
+        import jax
+        from das3r_tpu.parallel import multihost
+        n = len(jax.devices())
+        assert n == 8, "test rig expects the 8-device CPU mesh"
+        mesh = multihost.global_mesh(data=2, gauss=2, tile=2)
+        assert dict(mesh.shape) == {"data": 2, "gauss": 2, "tile": 2}
+        # pinned two axes, third inferred
+        mesh2 = multihost.global_mesh(data=2, tile=2)
+        assert dict(mesh2.shape) == {"data": 2, "gauss": 2, "tile": 2}
+        mesh3 = multihost.global_mesh(tile=4)
+        assert mesh3.shape["gauss"] * mesh3.shape["data"] == 2
+        # a gauss-sharded state spec builds against it
+        from das3r_tpu.parallel import sharded
+        spec = sharded.gauss_state_spec(mesh, "gauss")
+        assert spec.params.xyz.spec == jax.sharding.PartitionSpec("gauss")
 
 
 class TestBenchmarkSuiteCLI:
