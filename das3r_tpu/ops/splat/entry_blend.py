@@ -44,20 +44,57 @@ from das3r_tpu.ops.splat.settings import RasterSettings
 BLOCK = 1024          # entries per grid step
 CHUNK = 128           # entries per lane pass (8 chunks per block)
 
+# bf16 storage layout (``RasterSettings.table_bf16``): mean2d needs ~17
+# mantissa bits (a plain bf16 ulp at x ~ 512 is 2 PIXELS) so it is stored
+# as a bf16 hi + lo pair, exact to ~2^-17 relative (~4e-3 px at x = 512);
+# conic/color/opacity are single bf16. 11 rows x 2 B = 22 B/entry vs the
+# f32 table's 36. Quantization envelope (documented in docs/PERF.md): the
+# image error is DOMINATED by the bf16 color/opacity ulp (2^-9 ~ 2e-3 on
+# [0, 1]) — no sub-f32 storage of color can meet a 2e-4 image bar, which
+# would need >= 12 mantissa bits. Accumulation stays fp32 in VMEM.
+N_ATTR_BF16 = 11
+#   0 mean_x_hi  1 mean_x_lo  2 mean_y_hi  3 mean_y_lo
+#   4 conic_xx   5 conic_xy   6 conic_yy
+#   7 color_r    8 color_g    9 color_b   10 opacity
 
-def _chunk_math(attrs_ref, px, py, i, T_in, settings: RasterSettings):
+
+def encode_bf16_table(table: jax.Array) -> jax.Array:
+    """[M, 9] f32 attribute table -> [M, 11] bf16 (layout above)."""
+    mean = table[:, :2]
+    hi = mean.astype(jnp.bfloat16)
+    lo = (mean - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    rest = table[:, 2:].astype(jnp.bfloat16)
+    return jnp.concatenate(
+        [hi[:, 0:1], lo[:, 0:1], hi[:, 1:2], lo[:, 1:2], rest], axis=1)
+
+
+def _load_attrs(attrs_ref, settings: RasterSettings):
+    """One whole-block load of the [R, BLOCK] attribute slab, decoded to
+    the canonical 9-row f32 layout (module docstring). The bf16 table
+    reconstructs mean2d from its hi + lo pair; accumulation and all math
+    stay fp32."""
+    if not settings.table_bf16:
+        return attrs_ref[...]
+    raw = attrs_ref[...].astype(jnp.float32)        # [11, BLOCK]
+    mx = raw[0:1, :] + raw[1:2, :]
+    my = raw[2:3, :] + raw[3:4, :]
+    return jnp.concatenate([mx, my, raw[4:11, :]], axis=0)
+
+
+def _chunk_math(ab, px, py, i, T_in, settings: RasterSettings):
     """Shared fwd/bwd quantities for chunk ``i`` of the current block.
+    ``ab`` is the decoded [9, BLOCK] f32 slab from ``_load_attrs``.
 
     Pad slots carry the zero sentinel attribute row (opacity 0 ->
     alpha 0 < alpha_floor), so no explicit slot mask is needed."""
     s = settings
-    sl = pl.ds(i * CHUNK, CHUNK)
-    a_mx = attrs_ref[0, sl].reshape(1, CHUNK)
-    a_my = attrs_ref[1, sl].reshape(1, CHUNK)
-    a_cxx = attrs_ref[2, sl].reshape(1, CHUNK)
-    a_cxy = attrs_ref[3, sl].reshape(1, CHUNK)
-    a_cyy = attrs_ref[4, sl].reshape(1, CHUNK)
-    a_op = attrs_ref[8, sl].reshape(1, CHUNK)
+    sl = slice(i * CHUNK, (i + 1) * CHUNK)
+    a_mx = ab[0, sl].reshape(1, CHUNK)
+    a_my = ab[1, sl].reshape(1, CHUNK)
+    a_cxx = ab[2, sl].reshape(1, CHUNK)
+    a_cxy = ab[3, sl].reshape(1, CHUNK)
+    a_cyy = ab[4, sl].reshape(1, CHUNK)
+    a_op = ab[8, sl].reshape(1, CHUNK)
 
     dx = a_mx - px
     dy = a_my - py
@@ -117,6 +154,7 @@ def _forward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, out_ref, tin_ref,
     s = settings
     P = s.tile * s.tile
     g = pl.program_id(0)
+    ab = _load_attrs(attrs_ref, s)
 
     @pl.when(g == 0)
     def _():
@@ -156,10 +194,10 @@ def _forward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, out_ref, tin_ref,
         def _(tid=tid, i=i, T_in=T_in):
             px, py = _pixel_coords(s, tile0_ref[0] + tid)
             (_, _, _, _, _, cum_before, t_after, contribute,
-             w) = _chunk_math(attrs_ref, px, py, i, T_in, s)
-            sl = pl.ds(i * CHUNK, CHUNK)
+             w) = _chunk_math(ab, px, py, i, T_in, s)
+            sl = slice(i * CHUNK, (i + 1) * CHUNK)
             adds = [
-                jnp.sum(w * attrs_ref[5 + ch, sl].reshape(1, CHUNK),
+                jnp.sum(w * ab[5 + ch, sl].reshape(1, CHUNK),
                         axis=1, keepdims=True)
                 for ch in range(3)
             ]
@@ -183,6 +221,7 @@ def _backward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, tin_ref, cot_ref,
     s = settings
     P = s.tile * s.tile
     g = pl.program_id(0)
+    ab = _load_attrs(attrs_ref, s)
     gattrs_ref[...] = jnp.zeros((N_ATTR, BLOCK), jnp.float32)
 
     @pl.when(g == 0)
@@ -217,13 +256,14 @@ def _backward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, tin_ref, cot_ref,
             T_in = tin_ref[i]
             px, py = _pixel_coords(s, tile0_ref[0] + tid)
             (dx, dy, alpha_raw, a, one_m, cum_before, _, contribute,
-             w) = _chunk_math(attrs_ref, px, py, i, T_in, s)
+             w) = _chunk_math(ab, px, py, i, T_in, s)
             gcv = gvec[...]                              # [P, 3]
             sl = pl.ds(i * CHUNK, CHUNK)
+            slp = slice(i * CHUNK, (i + 1) * CHUNK)
 
             gc_dot = jnp.zeros((P, CHUNK), jnp.float32)
             for ch in range(3):
-                col = attrs_ref[5 + ch, sl].reshape(1, CHUNK)
+                col = ab[5 + ch, slp].reshape(1, CHUNK)
                 gch = gcv[:, ch:ch + 1]
                 gattrs_ref[5 + ch, sl] = jnp.sum(w * gch, axis=0)
                 gc_dot = gc_dot + gch * col
@@ -236,12 +276,12 @@ def _backward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, tin_ref, cot_ref,
                 gc_dot * cum_before - S_i / jnp.maximum(one_m, 1e-12), 0.0)
             d_alpha_raw = jnp.where(alpha_raw > s.alpha_clip, 0.0, d_alpha)
             d_power = alpha_raw * d_alpha_raw
-            a_op = attrs_ref[8, sl].reshape(1, CHUNK)
+            a_op = ab[8, slp].reshape(1, CHUNK)
             gattrs_ref[8, sl] = jnp.sum(
                 (alpha_raw / jnp.maximum(a_op, 1e-30)) * d_alpha_raw, axis=0)
-            a_cxx = attrs_ref[2, sl].reshape(1, CHUNK)
-            a_cxy = attrs_ref[3, sl].reshape(1, CHUNK)
-            a_cyy = attrs_ref[4, sl].reshape(1, CHUNK)
+            a_cxx = ab[2, slp].reshape(1, CHUNK)
+            a_cxy = ab[3, slp].reshape(1, CHUNK)
+            a_cyy = ab[4, slp].reshape(1, CHUNK)
             gattrs_ref[2, sl] = jnp.sum(-0.5 * dx * dx * d_power, axis=0)
             gattrs_ref[3, sl] = jnp.sum(-dx * dy * d_power, axis=0)
             gattrs_ref[4, sl] = jnp.sum(-0.5 * dy * dy * d_power, axis=0)
@@ -257,7 +297,7 @@ def _forward_impl(attrs, chunk_tile, tile0, settings: RasterSettings,
                   n_tiles_out: int):
     s = settings
     P = s.tile * s.tile
-    n_blocks = attrs.shape[0]
+    n_blocks, n_rows = attrs.shape[0], attrs.shape[1]
     e_al = n_blocks * BLOCK
     kernel = functools.partial(_forward_kernel, settings=s,
                                n_blocks=n_blocks, n_tiles_out=n_tiles_out)
@@ -265,7 +305,7 @@ def _forward_impl(attrs, chunk_tile, tile0, settings: RasterSettings,
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((None, N_ATTR, BLOCK), lambda g, c, t0: (g, 0, 0),
+            pl.BlockSpec((None, n_rows, BLOCK), lambda g, c, t0: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -297,7 +337,7 @@ def _backward_impl(attrs, chunk_tile, tile0, tin, cot, saved,
                    settings: RasterSettings, n_tiles_out: int):
     s = settings
     P = s.tile * s.tile
-    n_blocks = attrs.shape[0]
+    n_blocks, n_rows = attrs.shape[0], attrs.shape[1]
     e_al = n_blocks * BLOCK
     kernel = functools.partial(_backward_kernel, settings=s,
                                n_blocks=n_blocks, n_tiles_out=n_tiles_out)
@@ -306,7 +346,7 @@ def _backward_impl(attrs, chunk_tile, tile0, tin, cot, saved,
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((None, N_ATTR, BLOCK), rev,
+            pl.BlockSpec((None, n_rows, BLOCK), rev,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK // CHUNK, P, 1), rev,
                          memory_space=pltpu.VMEM),
@@ -350,10 +390,17 @@ def blend_entry_stream(table, rank, chunk_tile, tile0,
 
 
 def _fwd_impl_full(table, rank, chunk_tile, tile0, settings, n_tiles_out):
-    # [E_al/B, 9, B]: batched per-block transposes (a single global
-    # [E, 9] -> [9, E] transpose measured ~10 ms on TPU; batched is ~free)
+    if settings.table_bf16:
+        # Quantize ONCE at N-scale; the E-scale gather and the kernels'
+        # VMEM blocks then move 22 B/entry instead of 36. The barrier
+        # keeps the encoded table contiguous (same rationale as the f32
+        # table barrier in rasterize.py).
+        table = jax.lax.optimization_barrier(encode_bf16_table(table))
+    n_rows = table.shape[1]
+    # [E_al/B, R, B]: batched per-block transposes (a single global
+    # [E, R] -> [R, E] transpose measured ~10 ms on TPU; batched is ~free)
     attrs = jnp.swapaxes(
-        table[rank].reshape(-1, BLOCK, N_ATTR), 1, 2)
+        table[rank].reshape(-1, BLOCK, n_rows), 1, 2)
     packed, tin = _forward_impl(attrs, chunk_tile, tile0, settings,
                                 n_tiles_out)
     return packed, attrs, tin

@@ -91,6 +91,17 @@ class RasterSettings:
     # Tiles crossing a shard's cap lose their tail with entry_overflow
     # telemetry, same policy as the global cap.
     entries_per_shard: int | None = None
+    # bf16-storage / fp32-accumulation variant of the entry-stream blend:
+    # the depth-rank attribute table is stored as [N, 11] bf16 (mean2d as
+    # a bf16 hi + lo pair — plain bf16 positions quantize to 2 px at
+    # x ~ 512; conic/color/opacity single bf16) so the E-scale gather and
+    # kernel VMEM traffic move 22 B/entry instead of 36. All blending math
+    # and accumulators stay fp32; per-entry gradients and the per-Gaussian
+    # scatter-add stay fp32. LOSSY: image error is dominated by the bf16
+    # color/opacity ulp (~2e-3 abs on [0, 1]) — visually indistinguishable
+    # but NOT oracle-exact, so it is opt-in (entry_blend.py quantization
+    # analysis; A/B numbers in docs/PERF.md). Entry-stream path only.
+    table_bf16: bool = False
 
     @property
     def tiles_x(self) -> int:

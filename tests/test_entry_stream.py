@@ -164,3 +164,58 @@ class TestStreamBuilder:
             pos += ali
         assert (rank[pos:] == n).all()
         assert (ct[pos // 128:] == s.n_tiles).all()
+
+
+class TestBf16Table:
+    """bf16-storage / fp32-accum variant (RasterSettings.table_bf16).
+
+    Expected envelope (entry_blend.py quantization analysis): image error
+    dominated by the bf16 color/opacity ulp ~2e-3 abs; mean2d is a hi+lo
+    pair so positions are good to ~4e-3 px and no structural (pixel-shift)
+    error appears. Gradients flow through the quantized forward and must
+    track the fp32 gradients to a few permille of their magnitude."""
+
+    def _settings(self):
+        return RasterSettings(image_height=128, image_width=128, sh_degree=0,
+                              max_per_tile=1024, max_tiles_per_gaussian=64,
+                              max_total_entries=48_000, entry_stream=True,
+                              table_bf16=True)
+
+    def test_forward_close_to_fp32(self):
+        rng = np.random.default_rng(21)
+        s = self._settings()
+        means, scales, rots, ops, colors = make_scene(1000, rng)
+        bg = np.array([0.2, 0.3, 0.1], np.float32)
+        kw = _kw(s, scales, rots, colors, bg)
+        img_b, radii_b, _ = _raster(s, means, ops, kw)
+        s32 = dataclasses.replace(s, table_bf16=False)
+        img_f, radii_f, _ = _raster(s32, means, ops, kw)
+        np.testing.assert_array_equal(np.asarray(radii_b),
+                                      np.asarray(radii_f))
+        err = np.abs(np.asarray(img_b) - np.asarray(img_f))
+        assert err.max() < 1.5e-2, err.max()
+        assert err.mean() < 1e-3, err.mean()
+
+    def test_grads_track_fp32(self):
+        rng = np.random.default_rng(22)
+        s = self._settings()
+        means, scales, rots, ops, colors = make_scene(600, rng)
+        kw = _kw(s, scales, rots, colors)
+
+        def loss(settings):
+            def f(m, o):
+                i, _, _ = rasterize(m, o, settings, backend="pallas", **kw)
+                w = jnp.cos(jnp.arange(i.size).reshape(i.shape) * 0.01)
+                return jnp.sum(i * w)
+            return jax.jit(jax.grad(f, argnums=(0, 1)))
+
+        args = (jnp.asarray(means), jnp.asarray(ops))
+        g_b = loss(s)(*args)
+        g_f = loss(dataclasses.replace(s, table_bf16=False))(*args)
+        for a, b in zip(g_b, g_f):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all()
+            ref = np.abs(b).max() + 1e-12
+            # quantized forward => grads differ by the quantization scale,
+            # not by structure
+            np.testing.assert_allclose(a, b, atol=8e-3 * ref)

@@ -189,3 +189,44 @@ def test_gauss_sharded_step_matches_unsharded(scene):
                  (state1.params.opacity, state2.params.opacity),
                  (state1.poses.Q, state2.poses.Q)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+class TestHloStats:
+    """Collective-bytes accounting (scripts/bench_scaling.py --collectives):
+    backend-independent comm volume from the optimized HLO."""
+
+    def test_shape_bytes(self):
+        from das3r_tpu.parallel import hlo_stats
+        assert hlo_stats.shape_bytes("f32[128,3]") == 128 * 3 * 4
+        assert hlo_stats.shape_bytes("bf16[16]") == 32
+        assert hlo_stats.shape_bytes("pred[7]") == 7
+        assert hlo_stats.shape_bytes("f32[]") == 4
+        assert hlo_stats.shape_bytes("token[]") == 0
+
+    def test_counts_psum_all_reduce(self):
+        from das3r_tpu.parallel import hlo_stats
+        from jax.sharding import PartitionSpec as P
+        mesh = make_mesh(data=1, tile=8)
+
+        def f(x):
+            return jax.lax.psum(x, "tile")
+
+        fn = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("tile"),
+                                   out_specs=P()))
+        txt = fn.lower(jnp.ones((1024,), jnp.float32)).compile().as_text()
+        stats = hlo_stats.collective_bytes(txt)
+        assert "all-reduce" in stats, stats
+        # per-device shard is [128] f32 -> 512 B reduced buffer
+        assert stats["all-reduce"]["bytes"] == 512, stats
+        assert stats["all-reduce"]["count"] == 1, stats
+
+    def test_async_pairs_counted_once(self):
+        from das3r_tpu.parallel import hlo_stats
+        txt = """
+  %ag0 = f32[64]{0} all-gather-start(f32[8]{0} %x), dimensions={0}
+  %ag1 = f32[64]{0} all-gather-done(f32[64]{0} %ag0)
+  %ar = (f32[16]{0}, f32[16]{0}) all-reduce(f32[16]{0} %a, f32[16]{0} %b)
+"""
+        stats = hlo_stats.collective_bytes(txt)
+        assert stats["all-gather"] == {"bytes": 256, "count": 1}
+        assert stats["all-reduce"] == {"bytes": 128, "count": 1}
