@@ -10,6 +10,7 @@ finite end to end."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from das3r_tpu.models.croco.convert import convert_torch_state_dict
 from das3r_tpu.models.croco.dust3r import (AsymmetricCroCo3D,
@@ -23,6 +24,7 @@ def _tree_spec(tree):
             for k, v in flat}
 
 
+@pytest.mark.slow
 def test_full_size_convert_structure_and_forward():
     cfg = DUST3R_LARGE_CONFIG
     rng = np.random.default_rng(0)

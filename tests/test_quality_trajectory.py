@@ -51,6 +51,7 @@ def _run_trajectory(params, meta, poses, settings, gts, cfg, iters, every):
     return traj
 
 
+@pytest.mark.slow
 def test_fp32_trainer_tracks_fp64_oracle_trainer():
     params, meta, poses, settings = build_synthetic_scene(
         n=160, cap=256, f=3, hw=64, seed=0)

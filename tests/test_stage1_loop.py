@@ -76,6 +76,7 @@ class TestDatasets:
 
 
 class TestFitLoop:
+    @pytest.mark.slow
     def test_fit_resume_and_best(self, tmp_path):
         model = AsymmetricCroCo3D(TINY)
         rng = np.random.default_rng(1)
@@ -110,6 +111,7 @@ class TestFitLoop:
         assert json.loads(open(str(tmp_path / "ck" / "log.txt"))
                           .read().splitlines()[-1])["epoch"] == 2
 
+    @pytest.mark.slow
     def test_pose_eval_hook_and_keep_ckpts(self, tmp_path):
         """In-train pose eval (training.py:311-331): fires every
         pose_eval_freq epochs, tracks best mean ATE, saves best_pose and

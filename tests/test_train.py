@@ -131,6 +131,7 @@ def build_synthetic_scene(n=160, cap=256, f=3, hw=64, seed=0):
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_training_reduces_loss_and_recovers_pose(self):
         params, meta, poses_gt, settings = build_synthetic_scene()
         f = 3

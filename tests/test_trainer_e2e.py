@@ -59,6 +59,7 @@ def test_full_training_run(scene_dir, tmp_path):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_no_optim_test_pose_reference_parity(scene_dir):
     """--no-optim-test-pose reproduces the reference exactly: its test-pose
     'optimization' is a silent no-op (see step.test_pose_step docstring),
@@ -89,6 +90,7 @@ def test_no_optim_test_pose_reference_parity(scene_dir):
         np.abs(on[1] - orig[1]).max() > 0
 
 
+@pytest.mark.slow
 def test_training_improves_on_static_scene(scene_dir, tmp_path):
     """Longer run on the train split only: loss must drop substantially.
 
@@ -118,6 +120,7 @@ def test_training_improves_on_static_scene(scene_dir, tmp_path):
     assert losses[-1] < losses[0] * 0.5
 
 
+@pytest.mark.slow
 def test_entry_overflow_auto_regrow(scene_dir):
     """A scene engineered to outgrow its entry capacity triggers the
     trainer's auto-regrow (the TPU analog of the CUDA rasterizer's
@@ -159,6 +162,7 @@ def test_entry_overflow_auto_regrow(scene_dir):
     assert int(img_regrown.aux.entry_overflow) == 0
 
 
+@pytest.mark.slow
 def test_densify_in_trainer(scene_dir, tmp_path):
     """--densify wiring: prune fires at interval boundaries mid-run, the
     alive count changes without a recompile storm, and training proceeds."""
@@ -186,6 +190,7 @@ def test_densify_in_trainer(scene_dir, tmp_path):
     assert np.median(jax.nn.sigmoid(alive)) < 0.5
 
 
+@pytest.mark.slow
 def test_resume_bitmatch(scene_dir, tmp_path):
     """A run checkpointed at iter 20 and resumed to 40 must produce exactly
     the state of an unbroken 40-iter run (VERDICT round-1 item 5)."""
