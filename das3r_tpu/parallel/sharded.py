@@ -96,7 +96,8 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
             out.image, jax.sharding.NamedSharding(mesh, P()))
         ph = loss_mod.photometric_loss(img, gt, static,
                                        cfg.lambda_dssim)
-        return ph.loss, ph.psnr_frame, out.aux.entry_overflow
+        return (ph.loss, ph.psnr_frame, out.aux.entry_overflow,
+                out.aux.tile_overflow, out.aux.dup_overflow)
 
     state_spec = (gauss_state_spec(mesh, gauss_axis) if gauss_axis
                   else replicated(mesh))
@@ -115,12 +116,14 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
         gstep = state.step + 1
 
         def loss_fn(params, poses):
-            losses, psnrs, overflows = jax.vmap(
+            losses, psnrs, eovf, tovf, dovf = jax.vmap(
                 per_frame_loss, in_axes=(None, None, None, 0, 0, 0, 0, None)
             )(params, poses, meta, uids, gts, fovx, fovy, bg)
-            return losses.mean(), (psnrs.mean(), overflows.max())
+            return losses.mean(), (psnrs.mean(), eovf.max(), tovf.max(),
+                                   dovf.max())
 
-        (lossv, (psnr_mean, overflow)), (g_params, g_poses) = \
+        (lossv, (psnr_mean, overflow, tile_ovf, dup_ovf)), \
+            (g_params, g_poses) = \
             jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.poses)
@@ -139,7 +142,8 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
         metrics = step_mod.StepMetrics(
             loss=lossv, psnr=psnr_mean, cam_stepped=gate,
             radii_nonzero=jnp.zeros((), jnp.int32),
-            entry_overflow=overflow)
+            entry_overflow=overflow, tile_overflow=tile_ovf,
+            dup_overflow=dup_ovf)
         return new_state, metrics
 
     return step

@@ -50,6 +50,13 @@ class StepMetrics(NamedTuple):
     # ``max_total_entries``, the TPU analog of the CUDA rasterizer's
     # resizeFunctional buffer growth (VERDICT r2 missing #5)
     entry_overflow: jax.Array
+    # entries truncated by the [T, K] window path's per-tile capacity
+    # (RasterAux.tile_overflow; always 0 on the exact entry-stream path)
+    # and (Gaussian, tile) pairs dropped by the duplication cap
+    # ``max_tiles_per_gaussian`` (RasterAux.dup_overflow) — logged at
+    # report points so capacity starvation is never silent
+    tile_overflow: jax.Array
+    dup_overflow: jax.Array
 
 
 def init_train_state(params: GaussianParams,
@@ -99,9 +106,11 @@ def train_step(
         ph = loss_mod.photometric_loss(out.image, gt_image, static,
                                        cfg.lambda_dssim)
         return ph.loss, (ph.psnr_frame, out.radii,
-                         out.aux.entry_overflow)
+                         out.aux.entry_overflow, out.aux.tile_overflow,
+                         out.aux.dup_overflow)
 
-    (lossv, (psnr_frame, radii, entry_overflow)), \
+    (lossv, (psnr_frame, radii, entry_overflow, tile_overflow,
+             dup_overflow)), \
         (g_params, g_poses, g_offset) = \
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
             state.params, state.poses, offset0)
@@ -127,7 +136,9 @@ def train_step(
     metrics = StepMetrics(loss=lossv, psnr=psnr_frame,
                           cam_stepped=gate,
                           radii_nonzero=jnp.sum((radii > 0).astype(jnp.int32)),
-                          entry_overflow=entry_overflow)
+                          entry_overflow=entry_overflow,
+                          tile_overflow=tile_overflow,
+                          dup_overflow=dup_overflow)
     return new_state, new_meta, metrics
 
 

@@ -319,6 +319,19 @@ def train_scene(
                 tblog.scalars(tb_writer, end, train__entry_overflow=drop,
                               train__entry_cap=new_cap)
         if at_log:
+            # The other two capacity caps have no regrow (tile_overflow
+            # only exists on the [T, K] fallback path; dup_overflow means
+            # max_tiles_per_gaussian is too small for some Gaussian's
+            # footprint) — but starvation must never be silent.
+            t_ovf = int(np.asarray(metrics.tile_overflow).max())
+            d_ovf = int(np.asarray(metrics.dup_overflow).max())
+            if t_ovf > 0 or d_ovf > 0:
+                progress(f"[ITER {end}] capacity warning: tile_overflow "
+                         f"{t_ovf} dup_overflow {d_ovf} (entries are being "
+                         f"truncated; raise max_per_tile / "
+                         f"max_tiles_per_gaussian)")
+                tblog.scalars(tb_writer, end, train__tile_overflow=t_ovf,
+                              train__dup_overflow=d_ovf)
             lossv = float(np.asarray(metrics.loss)[-1])
             psnrv = float(np.asarray(metrics.psnr)[-1])
             progress(f"[ITER {end}] loss {lossv:.5f} psnr {psnrv:.2f}")
