@@ -40,10 +40,17 @@ def main():
     # sizes the entry stream from measured occupancy; the stream path is
     # EXACT (no per-tile truncation, unlike the round-1 [T, K] config)
     import dataclasses
+    mx_total, _, mx_dup = autosize.probe_entry_stats(
+        params, meta, settings, poses.all_poses(),
+        jnp.asarray(1.0), jnp.asarray(1.0))
     settings = dataclasses.replace(
-        settings, max_total_entries=autosize.auto_entry_cap(
-            params, meta, settings, poses.all_poses(),
-            jnp.asarray(1.0), jnp.asarray(1.0)))
+        settings,
+        max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
+        # the probed per-Gaussian footprint bounds the binning sort
+        # domain (N x cap slots) — see models/autosize.auto_dup_cap
+        max_tiles_per_gaussian=min(
+            -(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+            settings.max_tiles_per_gaussian))
     bg = jnp.zeros(3)
     fov = jnp.asarray(1.0, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH))

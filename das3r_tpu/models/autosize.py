@@ -24,7 +24,8 @@ from das3r_tpu.ops.splat import RasterSettings
 def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
                       fovx, fovy, mode: str = "train",
                       max_views: int = 8):
-    """(max total entries, max per-tile count) over sampled views.
+    """(max total entries, max per-tile count, max tiles/Gaussian) over
+    sampled views.
 
     ``poses7``: [F, 7] pose array; up to ``max_views`` evenly-spaced views
     are rendered with a throwaway 128-capacity config (counts come from the
@@ -42,19 +43,20 @@ def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
     @jax.jit
     def run(stacked):
         def body(carry, pose7):
-            mx_total, mx_tile = carry
+            mx_total, mx_tile, mx_dup = carry
             out = render_mod.render(params, meta, probe_settings, pose7,
                                     jnp.zeros(3), fovx, fovy, mode=mode)
             fc = out.aux.n_contrib_tiles
             aligned = jnp.sum(((fc + 127) // 128) * 128)
             return (jnp.maximum(mx_total, aligned),
-                    jnp.maximum(mx_tile, jnp.max(fc))), ()
-        (mx_total, mx_tile), _ = jax.lax.scan(
-            body, (jnp.int32(0), jnp.int32(0)), stacked)
-        return mx_total, mx_tile
+                    jnp.maximum(mx_tile, jnp.max(fc)),
+                    jnp.maximum(mx_dup, out.aux.max_tiles_touched)), ()
+        (mx_total, mx_tile, mx_dup), _ = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)), stacked)
+        return mx_total, mx_tile, mx_dup
 
-    mx_total, mx_tile = run(poses7)
-    return int(mx_total), int(mx_tile)
+    mx_total, mx_tile, mx_dup = run(poses7)
+    return int(mx_total), int(mx_tile), int(mx_dup)
 
 
 def auto_entry_cap(params, meta, settings: RasterSettings, poses7,
@@ -63,7 +65,26 @@ def auto_entry_cap(params, meta, settings: RasterSettings, poses7,
     """``max_total_entries`` for this scene: measured peak ALIGNED entry
     total (128-chunk padding included) x margin, rounded up to the stream
     block (1024), floored at 8 blocks."""
-    mx_total, _ = probe_entry_stats(params, meta, settings, poses7,
-                                    fovx, fovy, mode=mode)
+    mx_total, _, _ = probe_entry_stats(params, meta, settings, poses7,
+                                       fovx, fovy, mode=mode)
     cap = max(int(mx_total * margin), 8 * 1024)
     return -(-cap // 1024) * 1024
+
+
+def auto_dup_cap(params, meta, settings: RasterSettings, poses7,
+                 fovx, fovy, margin: float = 1.3,
+                 mode: str = "train") -> int:
+    """``max_tiles_per_gaussian`` for this scene: measured peak rect tile
+    count x margin, rounded up to a multiple of 4, floored at 8.
+
+    The duplication table the binning sort works over is
+    N x max_tiles_per_gaussian slots, so an oversized cap directly
+    multiplies the sort domain — at 1.5M Gaussians the default cap of 32
+    makes a 48M-slot table even when no Gaussian touches more than ~10
+    tiles. Overflow during training (Gaussians growing past the probed
+    cap) is reported via RasterAux.dup_overflow and regrown by the
+    trainer like the entry capacity."""
+    _, _, mx_dup = probe_entry_stats(params, meta, settings, poses7,
+                                     fovx, fovy, mode=mode)
+    cap = max(int(mx_dup * margin), 8)
+    return min(-(-cap // 4) * 4, settings.max_tiles_per_gaussian)

@@ -36,6 +36,10 @@ class RasterAux(NamedTuple):
     tile_overflow: jax.Array     # [] tiles whose list was truncated to K
     dup_overflow: jax.Array      # [] gaussians whose rect was cut by D
     entry_overflow: jax.Array    # [] entries dropped by max_total_entries
+    # [] largest per-Gaussian rect tile count this render (pre-cap) — the
+    # value ``max_tiles_per_gaussian`` must cover; feeds the autosize dup
+    # probe and the trainer's capacity telemetry
+    max_tiles_touched: jax.Array
 
 
 def rasterize(
@@ -126,6 +130,7 @@ def rasterize(
             tile_overflow=jnp.zeros((), jnp.int32),  # no capacity: exact
             dup_overflow=es.dup_overflow,
             entry_overflow=es.entry_overflow,
+            max_tiles_touched=jnp.max(p.n_tiles_touched),
         )
         return img, p.radius, aux
 
@@ -172,6 +177,7 @@ def rasterize(
             (bins.full_count > settings.max_per_tile).astype(jnp.int32)),
         dup_overflow=bins.dup_overflow,
         entry_overflow=bins.entry_overflow,
+        max_tiles_touched=jnp.max(p.n_tiles_touched),
     )
     return img, p.radius, aux
 
@@ -243,5 +249,6 @@ def _entry_stream_sharded(p, settings: RasterSettings, bg, mesh, tile_axis):
         tile_overflow=jnp.zeros((), jnp.int32),   # no per-tile capacity
         dup_overflow=ks.dup_overflow,
         entry_overflow=ks.entry_overflow + jnp.sum(drop),
+        max_tiles_touched=jnp.max(p.n_tiles_touched),
     )
     return img, p.radius, aux

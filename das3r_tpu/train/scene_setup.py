@@ -48,10 +48,17 @@ def build_scene(
     tile: int = 16,
     max_points: int | None = 1_500_000,
     entry_cap: int | None = None,
+    probe_dup_cap: bool = True,
 ) -> SceneBundle:
     """``entry_cap``: static rasterizer entry capacity. None = probe this
     scene's occupancy over sampled train views (models/autosize.py) — the
-    TPU-native equivalent of the CUDA rasterizer's dynamic buffer growth."""
+    TPU-native equivalent of the CUDA rasterizer's dynamic buffer growth.
+
+    ``probe_dup_cap``: also tighten ``max_tiles_per_gaussian`` to the
+    probed per-Gaussian footprint (never above the passed value) — the
+    binning sort domain is N x this cap, so the probe directly shrinks
+    the dominant production-scale sort. The trainer regrows it on
+    dup_overflow like the entry capacity."""
     train = data.subset(data.train_idx)
     test = data.subset(data.test_idx) if len(data.test_idx) else None
 
@@ -78,12 +85,28 @@ def build_scene(
         # placeholder capacity; replaced below (probe or explicit)
         max_total_entries=8 * params.xyz.shape[0],
         depth_sort_bits=0)
-    if entry_cap is None:
-        from das3r_tpu.models import autosize
+    from das3r_tpu.models import autosize
+    if entry_cap is None and probe_dup_cap:
+        # one probe pass yields both capacities
+        mx_total, _, mx_dup = autosize.probe_entry_stats(
+            params, meta, settings, poses.all_poses(),
+            float(train.fovx[0]), float(train.fovy[0]))
+        entry_cap = -(-max(int(mx_total * 1.2), 8 * 1024) // 1024) * 1024
+        dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+                      max_tiles_per_gaussian)
+        settings = dataclasses.replace(settings,
+                                       max_tiles_per_gaussian=dup_cap)
+    elif entry_cap is None:
         # occupancy depends on geometry/opacity only, not SH degree
         entry_cap = autosize.auto_entry_cap(
             params, meta, settings, poses.all_poses(),
             float(train.fovx[0]), float(train.fovy[0]))
+    elif probe_dup_cap:
+        dup_cap = autosize.auto_dup_cap(
+            params, meta, settings, poses.all_poses(),
+            float(train.fovx[0]), float(train.fovy[0]))
+        settings = dataclasses.replace(settings,
+                                       max_tiles_per_gaussian=dup_cap)
     settings = dataclasses.replace(settings, max_total_entries=entry_cap)
 
     return SceneBundle(params=params, meta=meta, scene=scene, poses=poses,

@@ -319,17 +319,25 @@ def train_scene(
                 tblog.scalars(tb_writer, end, train__entry_overflow=drop,
                               train__entry_cap=new_cap)
         if at_log:
-            # The other two capacity caps have no regrow (tile_overflow
-            # only exists on the [T, K] fallback path; dup_overflow means
-            # max_tiles_per_gaussian is too small for some Gaussian's
-            # footprint) — but starvation must never be silent.
+            # dup overflow (a Gaussian's rect outgrew the probed
+            # max_tiles_per_gaussian) regrows like the entry capacity;
+            # tile_overflow only exists on the [T, K] fallback path and
+            # has no auto-regrow, but starvation must never be silent.
             t_ovf = int(np.asarray(metrics.tile_overflow).max())
             d_ovf = int(np.asarray(metrics.dup_overflow).max())
-            if t_ovf > 0 or d_ovf > 0:
+            if d_ovf > 0:
+                old_d = settings.max_tiles_per_gaussian
+                new_d = -(-int(old_d * 1.5) // 4) * 4
+                settings = dataclasses.replace(
+                    settings, max_tiles_per_gaussian=new_d)
+                progress(f"[ITER {end}] dup overflow {d_ovf}: regrow "
+                         f"max_tiles_per_gaussian {old_d} -> {new_d} "
+                         f"(recompile at next chunk)")
+            if t_ovf > 0:
                 progress(f"[ITER {end}] capacity warning: tile_overflow "
-                         f"{t_ovf} dup_overflow {d_ovf} (entries are being "
-                         f"truncated; raise max_per_tile / "
-                         f"max_tiles_per_gaussian)")
+                         f"{t_ovf} (window path truncating; raise "
+                         f"max_per_tile)")
+            if t_ovf > 0 or d_ovf > 0:
                 tblog.scalars(tb_writer, end, train__tile_overflow=t_ovf,
                               train__dup_overflow=d_ovf)
             lossv = float(np.asarray(metrics.loss)[-1])
