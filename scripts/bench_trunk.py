@@ -13,6 +13,7 @@ protocol (each input depends on the previous output) per docs/PERF.md.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -29,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--size", choices=("large", "base"), default="large",
+                    help="'base' = ViT-B-scale trunk (enc 12x768, dec "
+                    "6x512). The full ViT-L program reliably crashes this "
+                    "environment's remote-compile relay (broken pipe at "
+                    "every resolution tried, docs/PERF.md known "
+                    "ceilings); the base trunk exercises the same "
+                    "MXU/bf16 question and compiles.")
     args = ap.parse_args(argv)
 
     import jax
@@ -49,33 +57,49 @@ def main(argv=None):
     params = None
     for name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
         cfg = dataclasses.replace(DUST3R_LARGE_CONFIG, dtype=dtype)
+        if args.size == "base":
+            cfg = dataclasses.replace(
+                cfg, enc_embed_dim=768, enc_depth=12, enc_num_heads=12,
+                dec_embed_dim=512, dec_depth=6, dec_num_heads=8)
         model = AsymmetricCroCo3D(cfg)
         if params is None:
             params = model.init(jax.random.PRNGKey(1), img[:1], img[:1])[
                 "params"]
 
-        @jax.jit
-        def chain(x, params=params, model=model):
+        @functools.partial(jax.jit, static_argnames=())
+        def chain(x, p, model=model):
+            # params MUST be a jit argument: closing over them bakes the
+            # full weight tree into the HLO as literals, and this
+            # environment's remote-compile relay rejects the payload
+            # (HTTP 413 at ViT-L scale).
             def one(x, _):
-                r1, r2 = model.apply({"params": params}, x, x)
+                r1, r2 = model.apply({"params": p}, x, x)
                 # feed a prediction-dependent perturbation forward
                 d = r1["conf"].mean() * 1e-6
                 return x + d, ()
             x, _ = jax.lax.scan(one, x, None, length=args.iters)
             return x
 
+        pj = jax.device_put(params)
         t0 = time.time()
-        jax.block_until_ready(chain(img))
+        x = chain(img, pj)
+        _ = float(jnp.sum(x))     # host fetch: the only reliable barrier
         print(f"# {name} compile+first {time.time() - t0:.1f} s", flush=True)
-        dt = float("inf")
-        for k in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(chain(img + 1e-5 * (k + 1)))
-            dt = min(dt, time.perf_counter() - t0)
-        pairs_s = B * args.iters / dt
+        # block_until_ready does NOT reliably block through the relay (a
+        # ViT-L "forward" once measured 0.1 ms with it); chain the windows
+        # through each other AND end on a scalar host fetch, timing the
+        # whole sequence. The fetch cost (~1 relay round trip) is
+        # amortized over windows * iters forwards.
+        windows = 3
+        t0 = time.perf_counter()
+        for k in range(windows):
+            x = chain(x, pj)
+        _ = float(jnp.sum(x))
+        dt = time.perf_counter() - t0
+        pairs_s = B * args.iters * windows / dt
         results[name] = pairs_s
         print(json.dumps({
-            "metric": f"trunk_fwd_pairs_per_s_{name}_{H}x{W}",
+            "metric": f"trunk_fwd_pairs_per_s_{name}_{args.size}_{H}x{W}",
             "value": round(pairs_s, 3), "unit": "pairs/s",
             "vs_baseline": 0.0}), flush=True)
 

@@ -219,3 +219,43 @@ def test_resume_bitmatch(scene_dir, tmp_path):
     np.testing.assert_array_equal(np.asarray(res_a.state.poses.Q),
                                   np.asarray(res_b.state.poses.Q))
     assert int(res_b.state.step) == 40
+
+
+@pytest.mark.slow
+def test_dup_overflow_auto_regrow(scene_dir):
+    """A deliberately starved max_tiles_per_gaussian (probe disabled)
+    triggers the trainer's dup-cap regrow; the regrown cap renders the
+    same image as a generous cap."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from das3r_tpu.models import render as render_mod
+
+    data = readers.load_scene(scene_dir, eval_mode=False)
+    bundle = scene_setup.build_scene(data, sh_degree=0, conf_thre=1.0,
+                                     max_per_tile=512,
+                                     max_tiles_per_gaussian=2,  # starved
+                                     max_points=4096,
+                                     entry_cap=512 * 1024,
+                                     probe_dup_cap=False)
+    assert bundle.settings.max_tiles_per_gaussian == 2
+    cfg = OptimizationConfig(iterations=24, psnr_threshold=15.0)
+    msgs = []
+    result = trainer.train_scene(bundle, cfg, model_path=None, log_every=1,
+                                 progress=msgs.append)
+    assert any("regrow max_tiles_per_gaussian" in m for m in msgs), msgs
+    final = result.final_settings
+    assert final.max_tiles_per_gaussian > 2
+
+    bg = jnp.zeros(3)
+    fovx = jnp.asarray(bundle.train_data.fovx[0], jnp.float32)
+    fovy = jnp.asarray(bundle.train_data.fovy[0], jnp.float32)
+    img_regrown = render_mod.render(
+        result.state.params, bundle.meta, final,
+        result.state.poses.pose(0), bg, fovx, fovy, mode="train")
+    big = _dc.replace(final, max_tiles_per_gaussian=64)
+    img_big = render_mod.render(
+        result.state.params, bundle.meta, big,
+        result.state.poses.pose(0), bg, fovx, fovy, mode="train")
+    if int(img_regrown.aux.dup_overflow) == 0:
+        np.testing.assert_allclose(np.asarray(img_regrown.image),
+                                   np.asarray(img_big.image), atol=1e-6)
