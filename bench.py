@@ -40,7 +40,7 @@ def main():
     # sizes the entry stream from measured occupancy; the stream path is
     # EXACT (no per-tile truncation, unlike the round-1 [T, K] config)
     import dataclasses
-    mx_total, _, mx_dup = autosize.probe_entry_stats(
+    mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
         params, meta, settings, poses.all_poses(),
         jnp.asarray(1.0), jnp.asarray(1.0))
     settings = dataclasses.replace(
@@ -50,7 +50,9 @@ def main():
         # domain (N x cap slots) — see models/autosize.auto_dup_cap
         max_tiles_per_gaussian=min(
             -(-max(int(mx_dup * 1.3), 8) // 4) * 4,
-            settings.max_tiles_per_gaussian))
+            settings.max_tiles_per_gaussian),
+        # split dup table: only probed-heavy rows get full-width slots
+        heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
     bg = jnp.zeros(3)
     fov = jnp.asarray(1.0, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH))

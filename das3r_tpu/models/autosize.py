@@ -24,16 +24,20 @@ from das3r_tpu.ops.splat import RasterSettings
 def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
                       fovx, fovy, mode: str = "train",
                       max_views: int = 8):
-    """(max total entries, max per-tile count, max tiles/Gaussian) over
-    sampled views.
+    """(max total entries, max per-tile count, max tiles/Gaussian,
+    max heavy rows) over sampled views.
 
     ``poses7``: [F, 7] pose array; up to ``max_views`` evenly-spaced views
     are rendered with a throwaway 128-capacity config (counts come from the
-    pre-truncation binning telemetry, so the tiny capacity is free)."""
+    pre-truncation binning telemetry, so the tiny capacity is free).
+    "Heavy rows" = Gaussians touching more than
+    ``settings.light_dup_width`` tiles — the row count the split dup
+    table's heavy side must hold (RasterAux.heavy_rows)."""
     from das3r_tpu.models import render as render_mod
 
     probe_settings = dataclasses.replace(
-        settings, max_per_tile=128, entry_stream=False)
+        settings, max_per_tile=128, entry_stream=False,
+        heavy_rows_cap=None)
     poses7 = jnp.asarray(poses7)
     f = poses7.shape[0]
     if f > max_views:
@@ -43,20 +47,22 @@ def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
     @jax.jit
     def run(stacked):
         def body(carry, pose7):
-            mx_total, mx_tile, mx_dup = carry
+            mx_total, mx_tile, mx_dup, mx_heavy = carry
             out = render_mod.render(params, meta, probe_settings, pose7,
                                     jnp.zeros(3), fovx, fovy, mode=mode)
             fc = out.aux.n_contrib_tiles
             aligned = jnp.sum(((fc + 127) // 128) * 128)
             return (jnp.maximum(mx_total, aligned),
                     jnp.maximum(mx_tile, jnp.max(fc)),
-                    jnp.maximum(mx_dup, out.aux.max_tiles_touched)), ()
-        (mx_total, mx_tile, mx_dup), _ = jax.lax.scan(
-            body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)), stacked)
-        return mx_total, mx_tile, mx_dup
+                    jnp.maximum(mx_dup, out.aux.max_tiles_touched),
+                    jnp.maximum(mx_heavy, out.aux.heavy_rows)), ()
+        (mx_total, mx_tile, mx_dup, mx_heavy), _ = jax.lax.scan(
+            body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            stacked)
+        return mx_total, mx_tile, mx_dup, mx_heavy
 
-    mx_total, mx_tile, mx_dup = run(poses7)
-    return int(mx_total), int(mx_tile), int(mx_dup)
+    mx_total, mx_tile, mx_dup, mx_heavy = run(poses7)
+    return int(mx_total), int(mx_tile), int(mx_dup), int(mx_heavy)
 
 
 def auto_entry_cap(params, meta, settings: RasterSettings, poses7,
@@ -65,8 +71,8 @@ def auto_entry_cap(params, meta, settings: RasterSettings, poses7,
     """``max_total_entries`` for this scene: measured peak ALIGNED entry
     total (128-chunk padding included) x margin, rounded up to the stream
     block (1024), floored at 8 blocks."""
-    mx_total, _, _ = probe_entry_stats(params, meta, settings, poses7,
-                                       fovx, fovy, mode=mode)
+    mx_total, _, _, _ = probe_entry_stats(params, meta, settings, poses7,
+                                          fovx, fovy, mode=mode)
     cap = max(int(mx_total * margin), 8 * 1024)
     return -(-cap // 1024) * 1024
 
@@ -84,7 +90,17 @@ def auto_dup_cap(params, meta, settings: RasterSettings, poses7,
     tiles. Overflow during training (Gaussians growing past the probed
     cap) is reported via RasterAux.dup_overflow and regrown by the
     trainer like the entry capacity."""
-    _, _, mx_dup = probe_entry_stats(params, meta, settings, poses7,
-                                     fovx, fovy, mode=mode)
+    _, _, mx_dup, _ = probe_entry_stats(params, meta, settings, poses7,
+                                        fovx, fovy, mode=mode)
     cap = max(int(mx_dup * margin), 8)
     return min(-(-cap // 4) * 4, settings.max_tiles_per_gaussian)
+
+
+def auto_heavy_cap(mx_heavy: int, margin: float = 1.5) -> int:
+    """``heavy_rows_cap`` from a probed peak heavy-row count: x margin
+    (heavy membership is the most drift-prone capacity — a Gaussian only
+    needs to GROW to cross the light width), rounded up to 1024, floored
+    at 4096 rows. Overflow during training demotes the farthest heavy
+    Gaussians to their first ``light_dup_width`` entries and reports
+    ``heavy_overflow``; the trainer regrows the cap on that signal."""
+    return -(-max(int(mx_heavy * margin), 4096) // 1024) * 1024

@@ -64,6 +64,15 @@ class TileBins(NamedTuple):
     #                            (dropped on the capacity-bound compact /
     #                            entry-stream paths; telemetry-only on the
     #                            exact full-sort path)
+    heavy_overflow: jax.Array  # [] int32 entries dropped because more than
+    #                            heavy_rows_cap Gaussians outgrew the
+    #                            split table's light width (0 when the
+    #                            split table is off). Counts RECT cells of
+    #                            the dropped rows: with tight_binning this
+    #                            upper-bounds the live entries lost (the
+    #                            per-pair cull would have removed some),
+    #                            exact otherwise — same convention as
+    #                            dup_overflow.
 
 
 def gids(bins: TileBins) -> jax.Array:
@@ -248,6 +257,7 @@ class SortedKeyStream(NamedTuple):
     sentinel: jax.Array        # uint32 sentinel key (sorts last)
     dup_overflow: jax.Array
     entry_overflow: jax.Array
+    heavy_overflow: jax.Array
 
 
 def _sorted_key_stream(prep: Preprocessed,
@@ -283,6 +293,80 @@ def _sorted_key_stream(prep: Preprocessed,
     dup_overflow = jnp.sum(
         (prep.n_tiles_touched > d_cap).astype(jnp.int32))
 
+    sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
+    boundaries = (jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits)
+    m2d_s = jax.lax.stop_gradient(prep.mean2d)[order]
+    conic_s = prep.conic[order]
+    qcap_s = prep.q_cap[order]
+
+    def emit_keys(w, rmn, nt, m2d, con, qc, rank_vals, d0, d_width):
+        """Packed (tile << nbits | rank) keys for rect cells
+        [d0, d0 + d_width) of depth-ordered rows described by the given
+        per-row arrays (width, rect_min, live cell count; tight-binning
+        inputs). Invalid cells get tile = n_tiles (sorts past every
+        boundary). Returns (packed [R, d_width] uint32, valid mask)."""
+        d_idx = d0 + jnp.arange(d_width, dtype=jnp.int32)[None, :]
+        # d // width via float: see the note in the full-width path below.
+        rowq = ((d_idx.astype(jnp.float32) + 0.5)
+                / w[:, None].astype(jnp.float32)).astype(jnp.int32)
+        col = d_idx - rowq * w[:, None]
+        ty = rmn[:, 1:2] + rowq
+        tx = rmn[:, 0:1] + col
+        tile = ty * s.tiles_x + tx
+        valid = d_idx < nt[:, None]
+        if s.tight_binning:
+            valid = valid & _tile_pair_keep(m2d, con, qc, tx, ty, s)
+        tile = jnp.where(valid, tile, s.n_tiles).astype(jnp.int32)
+        packed = (tile.astype(jnp.uint32) << nbits) | rank_vals
+        return packed, valid
+
+    if (s.heavy_rows_cap is not None and 0 < s.light_dup_width < d_cap):
+        # ---- split-width duplication table (settings.py rationale): all
+        # rows emit their first L cells into [N, L]; rows with more tiles
+        # are compacted depth-first into [H_cap, D - L] for the rest.
+        L = s.light_dup_width
+        h_cap = s.heavy_rows_cap
+        heavy = ntt > L                                    # [N] (0 if dead)
+        h_pos = jnp.cumsum(heavy.astype(jnp.int32)) - heavy
+        in_h = heavy & (h_pos < h_cap)
+        row_iota = jnp.arange(n, dtype=jnp.int32)
+        hid = jnp.full((h_cap + 1,), n, jnp.int32).at[
+            jnp.where(in_h, h_pos, h_cap)].set(
+            jnp.where(in_h, row_iota, n), unique_indices=True)[:-1]
+        # over-cap heavy rows (the FARTHEST: h_pos is depth-ordered) keep
+        # their first L entries via the light table and drop the rest
+        heavy_overflow = jnp.sum(
+            jnp.where(heavy & ~in_h, ntt - L, 0)).astype(jnp.int32)
+
+        rank_l = jax.lax.broadcasted_iota(jnp.uint32, (n, L), 0)
+        packed_l, valid_l = emit_keys(
+            width, rect_min, ntt, m2d_s, conic_s, qcap_s, rank_l, 0, L)
+
+        hvalid = hid < n
+        hc = jnp.minimum(hid, n - 1)
+        rank_h = jnp.where(hvalid, hid, 0).astype(jnp.uint32)[:, None]
+        packed_h, valid_h = emit_keys(
+            width[hc], rect_min[hc], jnp.where(hvalid, ntt[hc], 0),
+            m2d_s[hc], conic_s[hc], qcap_s[hc], rank_h, L, d_cap - L)
+
+        all_packed = jnp.concatenate(
+            [packed_l.reshape(-1), packed_h.reshape(-1)])
+        if s.max_total_entries is not None:
+            total = (jnp.sum(valid_l.astype(jnp.int32))
+                     + jnp.sum(valid_h.astype(jnp.int32)))
+            entry_overflow = jnp.maximum(
+                total - s.max_total_entries, 0).astype(jnp.int32)
+        sorted_packed = jax.lax.sort(
+            _pad128(all_packed, sentinel, extra=s.max_per_tile + 128),
+            dimension=0)
+        return SortedKeyStream(
+            sorted_packed=sorted_packed, order=order, boundaries=boundaries,
+            nbits=nbits, sentinel=sentinel, dup_overflow=dup_overflow,
+            entry_overflow=(entry_overflow
+                            if s.max_total_entries is not None
+                            else jnp.zeros((), jnp.int32)),
+            heavy_overflow=heavy_overflow)
+
     # Duplication table: entry (i, d) = d-th rect cell of depth-ranked
     # gaussian i. Tile id n_tiles is the out-of-range sentinel.
     d_idx = jnp.arange(d_cap, dtype=jnp.int32)[None, :]   # [1, D]
@@ -314,8 +398,6 @@ def _sorted_key_stream(prep: Preprocessed,
     # carries NO payload and the windows directly yield depth ranks.
     rank_iota = jax.lax.broadcasted_iota(jnp.uint32, (n, d_cap), 0)
     packed = (tile.astype(jnp.uint32) << nbits) | rank_iota
-    sentinel = jnp.uint32(((s.n_tiles + 1) << nbits) - 1)
-    boundaries = (jnp.arange(s.n_tiles + 1, dtype=jnp.uint32) << nbits)
 
     use_compact = (s.max_total_entries is not None
                    and n * d_cap > s.full_sort_below)
@@ -356,7 +438,8 @@ def _sorted_key_stream(prep: Preprocessed,
     return SortedKeyStream(sorted_packed=sorted_packed, order=order,
                            boundaries=boundaries, nbits=nbits,
                            sentinel=sentinel, dup_overflow=dup_overflow,
-                           entry_overflow=entry_overflow)
+                           entry_overflow=entry_overflow,
+                           heavy_overflow=jnp.zeros((), jnp.int32))
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
@@ -379,7 +462,8 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
         rank = jnp.minimum((win & mask).astype(jnp.int32), n - 1)
         return TileBins(rank=rank, delta=delta, order=ks.order, count=count,
                         full_count=full_count, dup_overflow=ks.dup_overflow,
-                        entry_overflow=ks.entry_overflow)
+                        entry_overflow=ks.entry_overflow,
+                        heavy_overflow=ks.heavy_overflow)
 
     # Fallback for key spaces over 32 bits: stable (tile, rank) pair sort.
     alive = prep.binnable
@@ -422,7 +506,8 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> TileBins:
     rank = jnp.minimum(sorted_rank[gather_idx], n - 1)
     return TileBins(rank=rank, delta=delta, order=order, count=count,
                     full_count=full_count, dup_overflow=dup_overflow,
-                    entry_overflow=jnp.zeros((), jnp.int32))
+                    entry_overflow=jnp.zeros((), jnp.int32),
+                    heavy_overflow=jnp.zeros((), jnp.int32))
 
 
 class EntryStream(NamedTuple):
@@ -441,6 +526,7 @@ class EntryStream(NamedTuple):
     count: jax.Array       # [T] int32 live entries per tile (uncapped)
     dup_overflow: jax.Array
     entry_overflow: jax.Array
+    heavy_overflow: jax.Array
 
 
 def entry_stream_supported(n: int, settings: RasterSettings) -> bool:
@@ -599,7 +685,8 @@ def entry_stream_from_keys(ks: SortedKeyStream, settings: RasterSettings,
                      n).reshape(-1)
     return EntryStream(rank=rank, chunk_tile=chunk_tile, order=ks.order,
                        count=count, dup_overflow=ks.dup_overflow,
-                       entry_overflow=ks.entry_overflow + stream_drop)
+                       entry_overflow=ks.entry_overflow + stream_drop,
+                       heavy_overflow=ks.heavy_overflow)
 
 
 def bin_entry_stream(prep: Preprocessed,
@@ -677,4 +764,5 @@ def _bin_quantized_depth(prep: Preprocessed,
     return TileBins(rank=rank, delta=delta,
                     order=jnp.arange(n, dtype=jnp.int32), count=count,
                     full_count=full_count, dup_overflow=dup_overflow,
-                    entry_overflow=entry_overflow)
+                    entry_overflow=entry_overflow,
+                    heavy_overflow=jnp.zeros((), jnp.int32))

@@ -40,6 +40,14 @@ class RasterAux(NamedTuple):
     # value ``max_tiles_per_gaussian`` must cover; feeds the autosize dup
     # probe and the trainer's capacity telemetry
     max_tiles_touched: jax.Array
+    # [] entries dropped because more Gaussians outgrew the split dup
+    # table's light width than ``heavy_rows_cap`` rows (0 with the split
+    # table off); the trainer regrows the cap on this signal
+    heavy_overflow: jax.Array
+    # [] count of binnable Gaussians touching more than
+    # ``light_dup_width`` tiles this render — feeds the autosize
+    # heavy-rows probe and regrow sizing
+    heavy_rows: jax.Array
 
 
 def rasterize(
@@ -131,6 +139,10 @@ def rasterize(
             dup_overflow=es.dup_overflow,
             entry_overflow=es.entry_overflow,
             max_tiles_touched=jnp.max(p.n_tiles_touched),
+            heavy_overflow=es.heavy_overflow,
+            heavy_rows=jnp.sum(
+            ((jnp.minimum(p.n_tiles_touched, settings.max_tiles_per_gaussian)
+              > settings.light_dup_width) & p.binnable).astype(jnp.int32)),
         )
         return img, p.radius, aux
 
@@ -178,6 +190,10 @@ def rasterize(
         dup_overflow=bins.dup_overflow,
         entry_overflow=bins.entry_overflow,
         max_tiles_touched=jnp.max(p.n_tiles_touched),
+        heavy_overflow=bins.heavy_overflow,
+        heavy_rows=jnp.sum(
+        ((jnp.minimum(p.n_tiles_touched, settings.max_tiles_per_gaussian)
+          > settings.light_dup_width) & p.binnable).astype(jnp.int32)),
     )
     return img, p.radius, aux
 
@@ -227,7 +243,8 @@ def _entry_stream_sharded(p, settings: RasterSettings, bg, mesh, tile_axis):
         ks_loc = binning.SortedKeyStream(
             sorted_packed=keys, order=None, boundaries=None, nbits=nbits,
             sentinel=None, dup_overflow=jnp.zeros((), jnp.int32),
-            entry_overflow=jnp.zeros((), jnp.int32))
+            entry_overflow=jnp.zeros((), jnp.int32),
+            heavy_overflow=jnp.zeros((), jnp.int32))
         es = binning.entry_stream_from_keys(
             ks_loc, s, n, e_al_loc, tile0=tile0, t_loc=t_loc)
         cpre, tfinal = entry_blend.render_tiles(
@@ -250,5 +267,9 @@ def _entry_stream_sharded(p, settings: RasterSettings, bg, mesh, tile_axis):
         dup_overflow=ks.dup_overflow,
         entry_overflow=ks.entry_overflow + jnp.sum(drop),
         max_tiles_touched=jnp.max(p.n_tiles_touched),
+        heavy_overflow=ks.heavy_overflow,
+        heavy_rows=jnp.sum(
+            ((jnp.minimum(p.n_tiles_touched, s.max_tiles_per_gaussian)
+              > s.light_dup_width) & p.binnable).astype(jnp.int32)),
     )
     return img, p.radius, aux

@@ -91,6 +91,24 @@ class RasterSettings:
     # Tiles crossing a shard's cap lose their tail with entry_overflow
     # telemetry, same policy as the global cap.
     entries_per_shard: int | None = None
+    # Split-width duplication table: the binning sort's domain is
+    # N x max_tiles_per_gaussian slots, but per-Gaussian tile footprints
+    # are heavily skewed (mean ~4 tiles vs probed caps of 32 at production
+    # scale — an 8x sort-domain waste). When ``heavy_rows_cap`` is set,
+    # every Gaussian emits its first ``light_dup_width`` rect cells into an
+    # [N, light] table and only the few Gaussians touching MORE tiles are
+    # compacted (depth-ordered) into a [heavy_rows_cap, D - light] table
+    # for the remaining cells; both tables pack the SAME self-describing
+    # (tile << nbits | depth-rank) keys and are sorted together, so the
+    # sorted stream is IDENTICAL to the full-width table's whenever no
+    # heavy row overflows. Heavy rows past the cap keep only their first
+    # ``light_dup_width`` entries (farthest Gaussians first, same policy
+    # as the entry cap) and the dropped-entry count is reported via
+    # ``heavy_overflow`` — the trainer regrows the cap like the others.
+    # None = single full-width table (exact, no cap). Sized per scene by
+    # models/autosize.py.
+    light_dup_width: int = 4
+    heavy_rows_cap: int | None = None
     # bf16-storage / fp32-accumulation variant of the entry-stream blend:
     # the depth-rank attribute table is stored as [N, 11] bf16 (mean2d as
     # a bf16 hi + lo pair — plain bf16 positions quantize to 2 px at

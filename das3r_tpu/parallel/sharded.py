@@ -97,7 +97,8 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
         ph = loss_mod.photometric_loss(img, gt, static,
                                        cfg.lambda_dssim)
         return (ph.loss, ph.psnr_frame, out.aux.entry_overflow,
-                out.aux.tile_overflow, out.aux.dup_overflow)
+                out.aux.tile_overflow, out.aux.dup_overflow,
+                out.aux.heavy_overflow, out.aux.heavy_rows)
 
     state_spec = (gauss_state_spec(mesh, gauss_axis) if gauss_axis
                   else replicated(mesh))
@@ -116,13 +117,14 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
         gstep = state.step + 1
 
         def loss_fn(params, poses):
-            losses, psnrs, eovf, tovf, dovf = jax.vmap(
+            losses, psnrs, eovf, tovf, dovf, hovf, hrows = jax.vmap(
                 per_frame_loss, in_axes=(None, None, None, 0, 0, 0, 0, None)
             )(params, poses, meta, uids, gts, fovx, fovy, bg)
             return losses.mean(), (psnrs.mean(), eovf.max(), tovf.max(),
-                                   dovf.max())
+                                   dovf.max(), hovf.max(), hrows.max())
 
-        (lossv, (psnr_mean, overflow, tile_ovf, dup_ovf)), \
+        (lossv, (psnr_mean, overflow, tile_ovf, dup_ovf, heavy_ovf,
+                 heavy_rows)), \
             (g_params, g_poses) = \
             jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(
@@ -143,7 +145,8 @@ def make_sharded_train_step(mesh: Mesh, settings: RasterSettings,
             loss=lossv, psnr=psnr_mean, cam_stepped=gate,
             radii_nonzero=jnp.zeros((), jnp.int32),
             entry_overflow=overflow, tile_overflow=tile_ovf,
-            dup_overflow=dup_ovf)
+            dup_overflow=dup_ovf, heavy_overflow=heavy_ovf,
+            heavy_rows=heavy_rows)
         return new_state, metrics
 
     return step

@@ -87,15 +87,16 @@ def build_scene(
         depth_sort_bits=0)
     from das3r_tpu.models import autosize
     if entry_cap is None and probe_dup_cap:
-        # one probe pass yields both capacities
-        mx_total, _, mx_dup = autosize.probe_entry_stats(
+        # one probe pass yields all three capacities
+        mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
             params, meta, settings, poses.all_poses(),
             float(train.fovx[0]), float(train.fovy[0]))
         entry_cap = -(-max(int(mx_total * 1.2), 8 * 1024) // 1024) * 1024
         dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
                       max_tiles_per_gaussian)
-        settings = dataclasses.replace(settings,
-                                       max_tiles_per_gaussian=dup_cap)
+        settings = dataclasses.replace(
+            settings, max_tiles_per_gaussian=dup_cap,
+            heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
     elif entry_cap is None:
         # occupancy depends on geometry/opacity only, not SH degree
         entry_cap = autosize.auto_entry_cap(

@@ -57,6 +57,12 @@ class StepMetrics(NamedTuple):
     # report points so capacity starvation is never silent
     tile_overflow: jax.Array
     dup_overflow: jax.Array
+    # entries dropped by the split dup table's heavy-rows cap
+    # (RasterAux.heavy_overflow) plus the live heavy-row count
+    # (RasterAux.heavy_rows) — the trainer regrows
+    # ``heavy_rows_cap`` from these
+    heavy_overflow: jax.Array
+    heavy_rows: jax.Array
 
 
 def init_train_state(params: GaussianParams,
@@ -107,10 +113,11 @@ def train_step(
                                        cfg.lambda_dssim)
         return ph.loss, (ph.psnr_frame, out.radii,
                          out.aux.entry_overflow, out.aux.tile_overflow,
-                         out.aux.dup_overflow)
+                         out.aux.dup_overflow, out.aux.heavy_overflow,
+                         out.aux.heavy_rows)
 
     (lossv, (psnr_frame, radii, entry_overflow, tile_overflow,
-             dup_overflow)), \
+             dup_overflow, heavy_overflow, heavy_rows)), \
         (g_params, g_poses, g_offset) = \
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
             state.params, state.poses, offset0)
@@ -138,7 +145,9 @@ def train_step(
                           radii_nonzero=jnp.sum((radii > 0).astype(jnp.int32)),
                           entry_overflow=entry_overflow,
                           tile_overflow=tile_overflow,
-                          dup_overflow=dup_overflow)
+                          dup_overflow=dup_overflow,
+                          heavy_overflow=heavy_overflow,
+                          heavy_rows=heavy_rows)
     return new_state, new_meta, metrics
 
 

@@ -333,6 +333,24 @@ def train_scene(
                 progress(f"[ITER {end}] dup overflow {d_ovf}: regrow "
                          f"max_tiles_per_gaussian {old_d} -> {new_d} "
                          f"(recompile at next chunk)")
+            h_ovf = int(np.asarray(metrics.heavy_overflow).max())
+            if h_ovf > 0 and settings.heavy_rows_cap is not None:
+                # Gaussians GREW past the split dup table's light width
+                # faster than the probed heavy capacity: regrow from the
+                # measured live heavy-row count (same recompile-at-chunk
+                # policy as the other capacities).
+                from das3r_tpu.models import autosize
+                old_h = settings.heavy_rows_cap
+                new_h = max(autosize.auto_heavy_cap(
+                    int(np.asarray(metrics.heavy_rows).max())),
+                    -(-int(old_h * 1.5) // 1024) * 1024)
+                settings = dataclasses.replace(settings,
+                                               heavy_rows_cap=new_h)
+                progress(f"[ITER {end}] heavy-row overflow {h_ovf}: regrow "
+                         f"heavy_rows_cap {old_h} -> {new_h} "
+                         f"(recompile at next chunk)")
+                tblog.scalars(tb_writer, end, train__heavy_overflow=h_ovf,
+                              train__heavy_cap=new_h)
             if t_ovf > 0:
                 progress(f"[ITER {end}] capacity warning: tile_overflow "
                          f"{t_ovf} (window path truncating; raise "

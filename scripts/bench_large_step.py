@@ -62,16 +62,18 @@ def main(argv=None):
         n=N, n_frames=2, height=H, width=W, seed=0)
     pose7s = poses.all_poses()
     fov = jnp.asarray(1.0, jnp.float32)
-    mx_total, _, mx_dup = autosize.probe_entry_stats(
+    mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
         params, meta, settings, pose7s, fov, fov)
     settings = dataclasses.replace(
         settings,
         max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
         max_tiles_per_gaussian=min(
             -(-max(int(mx_dup * 1.3), 8) // 4) * 4,
-            settings.max_tiles_per_gaussian))
+            settings.max_tiles_per_gaussian),
+        heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
     print(f"# n={N} entries_cap={settings.max_total_entries} "
-          f"dup_cap={settings.max_tiles_per_gaussian}", flush=True)
+          f"dup_cap={settings.max_tiles_per_gaussian} "
+          f"heavy_cap={settings.heavy_rows_cap}", flush=True)
 
     cfg = OptimizationConfig(iterations=4000)
     state = step_mod.init_train_state(params, poses)

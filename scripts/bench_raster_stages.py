@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 N_GAUSSIANS = 100_000
 HEIGHT, WIDTH = 384, 512
+PROBE = False
 
 
 def build():
@@ -41,6 +42,25 @@ def build():
         max_total_entries=8 * N_GAUSSIANS)
     params, meta, poses = random_gaussian_scene(
         n=N_GAUSSIANS, n_frames=2, height=HEIGHT, width=WIDTH, seed=0)
+    if PROBE:
+        # Same per-scene capacity probe as bench_large_step.py, so the
+        # stage breakdown measures the EXACT production config.
+        import dataclasses as _dcp
+        from das3r_tpu.models import autosize
+        mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
+            params, meta, settings, poses.all_poses(),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32))
+        settings = _dcp.replace(
+            settings,
+            max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024)
+            * 1024,
+            max_tiles_per_gaussian=min(
+                -(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+                settings.max_tiles_per_gaussian),
+            heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
+        print(f"# probed entries_cap={settings.max_total_entries} "
+              f"dup_cap={settings.max_tiles_per_gaussian} "
+              f"heavy_cap={settings.heavy_rows_cap}", flush=True)
     bg = jnp.zeros(3)
     fov = jnp.asarray(1.0, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH))
@@ -128,6 +148,43 @@ def build():
         img = blend.assemble_image(tiles, s)
         return jnp.sum(img) * 1e-6
 
+    # ---- entry-stream pipeline stages (the TPU production path)
+    from das3r_tpu.ops.splat import entry_blend
+
+    def es_table(p, es):
+        attr_mat = jnp.concatenate(
+            [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
+        return jax.lax.optimization_barrier(jnp.concatenate(
+            [attr_mat[es.order],
+             jnp.zeros((1, attr_mat.shape[1]), attr_mat.dtype)]))
+
+    def f_es_bin(eps):
+        p = prep(eps)
+        es = binning.bin_entry_stream(jax.lax.stop_gradient(p), s)
+        return reduce_prep(p) + jnp.sum(es.rank).astype(jnp.float32)
+
+    def f_es_gather(eps):
+        p = prep(eps)
+        es = jax.tree.map(
+            jax.lax.stop_gradient,
+            binning.bin_entry_stream(jax.lax.stop_gradient(p), s))
+        table = es_table(p, es)
+        attrs = jnp.swapaxes(
+            table[es.rank].reshape(-1, entry_blend.BLOCK,
+                                   table.shape[1]), 1, 2)
+        return jnp.sum(attrs) * 1e-6
+
+    def f_es_fwd(eps):
+        p = prep(eps)
+        es = jax.tree.map(
+            jax.lax.stop_gradient,
+            binning.bin_entry_stream(jax.lax.stop_gradient(p), s))
+        table = es_table(p, es)
+        cpre, tfinal = entry_blend.render_tiles(table, es, bg, s)
+        tiles = cpre + tfinal * bg.reshape(1, 3, 1)
+        img = blend.assemble_image(jnp.swapaxes(tiles, 1, 2), s)
+        return jnp.sum(img) * 1e-6
+
     def loss_at(eps):
         out = render_mod.render(params._replace(xyz=params.xyz + eps),
                                 meta, s, pose7, bg, fov, fov, mode="train")
@@ -158,6 +215,98 @@ def build():
         d = p0.depth + eps[0]
         order = jnp.argsort(jnp.where(p0.binnable, d, jnp.inf), stable=True)
         return jnp.sum(order).astype(jnp.float32) * 1e-6
+
+    # ---- entry-stream micro stages on realistic binned data
+    es0 = None
+    if (s.max_total_entries is not None
+            and binning.entry_stream_supported(N_GAUSSIANS, s)):
+        es0 = jax.jit(lambda: binning.bin_entry_stream(p0, s))()
+        es0 = jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), es0)
+        print(f"# entry stream: E_al={es0.rank.shape[0]} "
+              f"live={int(jnp.sum(es0.count))}", flush=True)
+
+    def f_sort_E(eps):
+        keys = es0.rank.astype(jnp.uint32) + (eps[0] * 1e30).astype(
+            jnp.uint32)
+        return jnp.sum(
+            jax.lax.sort(keys, dimension=0).astype(jnp.float32)) * 1e-6
+
+    table_z = jnp.zeros((N_GAUSSIANS + 1, 9))
+
+    def f_gather_E_rows9(eps):
+        t = table_z + eps[0]
+        attrs = jnp.swapaxes(
+            t[es0.rank].reshape(-1, 1024, 9), 1, 2)
+        return jnp.sum(attrs) * 1e-6
+
+    def f_scatterN_from_E(eps):
+        g_rows = jnp.full((es0.rank.shape[0], 9), eps[0])
+        acc = jnp.zeros((N_GAUSSIANS + 1, 9)).at[es0.rank].add(g_rows)
+        return jnp.sum(acc) * 1e-9
+
+    # ---- backward-reduction candidates: the per-Gaussian grad scatter-add
+    # measured ~70 ns/row into a 54 MB target at 1.5M (4x the small-target
+    # cost) — these test the rank-sort -> sorted-scatter replacement
+    def f_pairsort_E(eps):
+        r = es0.rank.astype(jnp.uint32) + (eps[0] * 1e30).astype(jnp.uint32)
+        rs, perm = jax.lax.sort(
+            (r, jax.lax.iota(jnp.uint32, es0.rank.shape[0])),
+            dimension=0, num_keys=1)
+        return (jnp.sum(rs.astype(jnp.float32))
+                + jnp.sum(perm.astype(jnp.float32))) * 1e-9
+
+    ranks_sorted_const = jnp.sort(es0.rank)
+
+    def f_scatter_sorted_only(eps):
+        g = jnp.full((es0.rank.shape[0], 9), eps[0])
+        acc = jnp.zeros((N_GAUSSIANS + 1, 9)).at[ranks_sorted_const].add(
+            g, indices_are_sorted=True)
+        return jnp.sum(acc) * 1e-9
+
+    def f_bwd_reduce_sorted(eps):
+        """Full candidate: pair-sort (rank, iota) -> permute grad rows ->
+        scatter-add with sorted indices."""
+        g_rows = jnp.full((es0.rank.shape[0], 9), eps[0])
+        rs, perm = jax.lax.sort(
+            (es0.rank.astype(jnp.uint32),
+             jax.lax.iota(jnp.uint32, es0.rank.shape[0])),
+            dimension=0, num_keys=1)
+        gs = g_rows[perm.astype(jnp.int32)]
+        acc = jnp.zeros((N_GAUSSIANS + 1, 9)).at[
+            rs.astype(jnp.int32)].add(gs, indices_are_sorted=True)
+        return jnp.sum(acc) * 1e-9
+
+    # ---- one full trainer iteration (render + loss + grads + both Adams)
+    from das3r_tpu.train import step as step_mod
+    from das3r_tpu.train.config import OptimizationConfig
+    cfg_tr = OptimizationConfig(iterations=4000)
+    state0 = step_mod.init_train_state(params, poses)
+    gt2 = jnp.zeros((2, 3, HEIGHT, WIDTH))
+    fovs2 = jnp.full((2,), 1.0, jnp.float32)
+    uids1 = jnp.zeros((1,), jnp.int32)
+
+    def f_train1(eps):
+        _, _, m = step_mod.train_chunk(
+            state0, meta, uids1, gt2 + eps[0], fovs2, fovs2, bg, s, cfg_tr)
+        return jnp.sum(m.loss)
+
+    # isolated sort of the FULL padded N*D dup table (the es_bin full-sort
+    # path's dominant op at production scale)
+    def f_sort_ND(eps):
+        base = jax.lax.broadcasted_iota(
+            jnp.uint32, (N_GAUSSIANS * s.max_tiles_per_gaussian,), 0)
+        keys = base * jnp.uint32(2654435761) + (eps[0] * 1e30).astype(
+            jnp.uint32)
+        return jnp.sum(
+            jax.lax.sort(keys, dimension=0).astype(jnp.float32)) * 1e-12
+
+    # gather + fwd kernel + bwd kernel + scatter-add, grads to the table
+    # only (no N-scale preprocess/SH backward, no binning in the graph)
+    def f_es_blend_bwd(eps):
+        def f(t):
+            cpre, tfinal = entry_blend.render_tiles(t, es0, bg, s)
+            return jnp.sum(cpre) + jnp.sum(tfinal)
+        return jnp.sum(jax.grad(f)(table_z + eps[0])) * 1e-6
 
     e_cap = s.max_total_entries
     d_cap = s.max_tiles_per_gaussian
@@ -508,6 +657,18 @@ def build():
         "full_fwd": f_full_fwd,
         "full_fwd_bwd": f_full_fwd_bwd,
         "full_fwd_bwd_fullsort": f_full_fwd_bwd_fullsort,
+        "es_bin": f_es_bin,
+        "es_gather": f_es_gather,
+        "es_fwd": f_es_fwd,
+        "sort_E": f_sort_E,
+        "sort_ND": f_sort_ND,
+        "pairsort_E": f_pairsort_E,
+        "scatter_sorted_only": f_scatter_sorted_only,
+        "bwd_reduce_sorted": f_bwd_reduce_sorted,
+        "es_blend_bwd": f_es_blend_bwd,
+        "gather_E_rows9": f_gather_E_rows9,
+        "scatterN_from_E": f_scatterN_from_E,
+        "train1": f_train1,
         "gather_lanes9N": f_gather_lanes9N,
         "scatter_add_lanes9N": f_scatter_add_lanes9N,
         "gather_take9N": f_gather_take9N,
@@ -544,10 +705,19 @@ def time_stage(fn, iters):
 
 
 def main():
+    global N_GAUSSIANS, HEIGHT, WIDTH, PROBE
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--stages", type=str, default="")
+    ap.add_argument("--n", type=int, default=N_GAUSSIANS)
+    ap.add_argument("--height", type=int, default=HEIGHT)
+    ap.add_argument("--width", type=int, default=WIDTH)
+    ap.add_argument("--probe", action="store_true",
+                    help="size entry caps with the per-scene probe "
+                         "(bench_large_step.py parity)")
     args = ap.parse_args()
+    N_GAUSSIANS, HEIGHT, WIDTH = args.n, args.height, args.width
+    PROBE = args.probe
     stages = build()
     wanted = (args.stages.split(",") if args.stages
               else list(stages.keys()))
