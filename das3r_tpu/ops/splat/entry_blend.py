@@ -413,12 +413,74 @@ def _fwd(table, rank, chunk_tile, tile0, settings, n_tiles_out):
                     table.shape[0])
 
 
+_SEG_BLOCK = 1024
+
+
+def _segment_sum_by_rank(g_rows, rank, n_rows: int) -> jax.Array:
+    """Per-table-row sum of entry gradient rows WITHOUT a large-target
+    scatter-add.
+
+    XLA's scatter-add processes indices serially at ~18 ns/row into small
+    targets and degrades to ~70 ns/row into a 54 MB [1.5M, 9] table —
+    478 ms/step at production scale, by far the largest line item of the
+    train step; sorted indices and index locality measurably do NOT help
+    (docs/PERF.md round-3 cost model). This replacement uses only
+    near-bandwidth primitives: sort the (rank, position) pairs (~20 ms at
+    6.8M), permute the gradient rows by one row gather (~47 ms), take
+    BLOCK-LOCAL prefix sums, and reconstruct each rank's contiguous
+    segment from three row gathers at boundary positions (scatter-min of
+    first-occurrence positions into the SMALL [n_rows+1] int table + a
+    reverse min-scan yields the boundaries).
+
+    Numerics: a GLOBAL prefix sum would lose ~eps * sqrt(E)/seg_len
+    relative accuracy to cancellation (measured 2e-1 worst-case rel err at
+    6.8M); block-local prefixes bound the cancellation scale to
+    sqrt(BLOCK) (~1e-6 rel). A rank has at most ``max_tiles_per_gaussian``
+    entries, so its sorted run spans at most TWO blocks whenever
+    d_cap <= BLOCK (callers guard); the two-block case composes the first
+    block's suffix with the second's prefix. The pad sentinel row
+    (rank == n_rows - 1) can span many blocks and gets a garbage-but-
+    finite value — its gradient flows into the constant zero sentinel
+    table row and is discarded.
+    """
+    e = rank.shape[0]
+    B = _SEG_BLOCK
+    assert e % B == 0, e
+    rs, perm = jax.lax.sort(
+        (rank.astype(jnp.uint32), jax.lax.iota(jnp.uint32, e)),
+        dimension=0, num_keys=1)
+    gs = g_rows[perm.astype(jnp.int32)]                    # [E, 9] sorted
+    L = jnp.cumsum(gs.reshape(-1, B, N_ATTR), axis=1).reshape(e, N_ATTR)
+    blk_total = L[B - 1::B]                                # [E/B, 9]
+    iota = jax.lax.iota(jnp.int32, e)
+    first = jnp.full((n_rows + 1,), e, jnp.int32).at[
+        rs.astype(jnp.int32)].min(iota)
+    bound = jax.lax.associative_scan(jnp.minimum, first, reverse=True)
+    b0, b1 = bound[:-1], bound[1:]                         # [n_rows]
+    empty = (b1 == b0)[:, None]
+    last = jnp.clip(b1 - 1, 0, e - 1)
+    blk_a = b0 // B
+    pre = jnp.where(((b0 % B) > 0)[:, None],
+                    L[jnp.clip(b0 - 1, 0, e - 1)], 0.0)   # prefix before b0
+    l_end = L[last]                                        # local incl. prefix
+    same = (blk_a == last // B)[:, None]
+    one_block = l_end - pre
+    two_block = (blk_total[jnp.clip(blk_a, 0, e // B - 1)] - pre) + l_end
+    return jnp.where(empty, 0.0, jnp.where(same, one_block, two_block))
+
+
 def _bwd(settings, n_tiles_out, res, cot):
     attrs, tin, packed, rank, chunk_tile, tile0, n_rows = res
     gattrs = _backward_impl(attrs, chunk_tile, tile0, tin, cot, packed,
                             settings, n_tiles_out)
     g_rows = jnp.swapaxes(gattrs, 1, 2).reshape(-1, N_ATTR)   # [E_al, 9]
-    g_table = jnp.zeros((n_rows, N_ATTR), jnp.float32).at[rank].add(g_rows)
+    if (settings.segsum_grad_reduce
+            and settings.max_tiles_per_gaussian <= _SEG_BLOCK
+            and g_rows.shape[0] % _SEG_BLOCK == 0):
+        g_table = _segment_sum_by_rank(g_rows, rank, n_rows)
+    else:
+        g_table = jnp.zeros((n_rows, N_ATTR),
+                            jnp.float32).at[rank].add(g_rows)
     return g_table, None, None, None
 
 

@@ -109,6 +109,14 @@ class RasterSettings:
     # models/autosize.py.
     light_dup_width: int = 4
     heavy_rows_cap: int | None = None
+    # Entry-stream backward: reduce per-entry gradients to per-Gaussian
+    # rows by rank-sort + block-local prefix sums + boundary gathers
+    # instead of a large-target scatter-add (XLA scatter degrades to
+    # ~70 ns/row into multi-MB targets — 478 ms/step at 1.5M Gaussians;
+    # see entry_blend._segment_sum_by_rank for the numerics). Falls back
+    # to the scatter when max_tiles_per_gaussian exceeds the segment
+    # block (a rank's run must span <= 2 blocks).
+    segsum_grad_reduce: bool = True
     # bf16-storage / fp32-accumulation variant of the entry-stream blend:
     # the depth-rank attribute table is stored as [N, 11] bf16 (mean2d as
     # a bf16 hi + lo pair — plain bf16 positions quantize to 2 px at

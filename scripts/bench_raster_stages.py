@@ -244,6 +244,36 @@ def build():
         acc = jnp.zeros((N_GAUSSIANS + 1, 9)).at[es0.rank].add(g_rows)
         return jnp.sum(acc) * 1e-9
 
+    # ---- locality hypothesis: with table rows ordered by SCREEN position
+    # (min tile) instead of depth, the stream-order scatter indices cluster
+    # within each tile's active set instead of striding the whole 54 MB
+    # table — random-DRAM-row cost should collapse toward the small-target
+    # 18 ns/row figure.
+    if es0 is not None:
+        key_sp = (p0.rect_min[:, 1] * s.tiles_x + p0.rect_min[:, 0])
+        key_sp = jnp.where(p0.binnable, key_sp, jnp.int32(2**30))
+        sp_of_gauss = jnp.argsort(key_sp).astype(jnp.int32)
+        inv_sp = jnp.zeros((N_GAUSSIANS,), jnp.int32).at[sp_of_gauss].set(
+            jnp.arange(N_GAUSSIANS, dtype=jnp.int32))
+        d2s_const = jnp.concatenate(
+            [inv_sp[es0.order], jnp.asarray([N_GAUSSIANS], jnp.int32)])
+        rank_sp_const = jnp.asarray(jax.device_get(d2s_const[es0.rank]))
+
+    def f_scatter_clustered(eps):
+        g = jnp.full((es0.rank.shape[0], 9), eps[0])
+        acc = jnp.zeros((N_GAUSSIANS + 1, 9)).at[rank_sp_const].add(g)
+        return jnp.sum(acc) * 1e-9
+
+    def f_gather_clustered(eps):
+        t = table_z + eps[0]
+        attrs = jnp.swapaxes(
+            t[rank_sp_const].reshape(-1, 1024, 9), 1, 2)
+        return jnp.sum(attrs) * 1e-6
+
+    def f_remap_gather(eps):
+        m = d2s_const + (eps[0] * 1e30).astype(jnp.int32)
+        return jnp.sum(m[es0.rank].astype(jnp.float32)) * 1e-9
+
     # ---- backward-reduction candidates: the per-Gaussian grad scatter-add
     # measured ~70 ns/row into a 54 MB target at 1.5M (4x the small-target
     # cost) — these test the rank-sort -> sorted-scatter replacement
@@ -275,6 +305,38 @@ def build():
         acc = jnp.zeros((N_GAUSSIANS + 1, 9)).at[
             rs.astype(jnp.int32)].add(gs, indices_are_sorted=True)
         return jnp.sum(acc) * 1e-9
+
+    def f_scatter_min_small(eps):
+        iota = jax.lax.iota(jnp.int32, es0.rank.shape[0])
+        shift = (eps[0] * 1e30).astype(jnp.int32)
+        first = jnp.full((N_GAUSSIANS + 2,), es0.rank.shape[0],
+                         jnp.int32).at[es0.rank + shift].min(iota)
+        return jnp.sum(first.astype(jnp.float32)) * 1e-9
+
+    def f_bwd_reduce_cumsum(eps):
+        """Candidate: rank-sort -> permute -> prefix sum -> boundary diff.
+        All components are near-bandwidth (no large-target scatter)."""
+        e_al2 = es0.rank.shape[0]
+        g_rows = jnp.full((e_al2, 9), eps[0])
+        rs, perm = jax.lax.sort(
+            (es0.rank.astype(jnp.uint32), jax.lax.iota(jnp.uint32, e_al2)),
+            dimension=0, num_keys=1)
+        gs = g_rows[perm.astype(jnp.int32)]
+        csum = jnp.concatenate(
+            [jnp.zeros((1, 9)), jnp.cumsum(gs, axis=0)])
+        iota = jax.lax.iota(jnp.int32, e_al2)
+        first = jnp.full((N_GAUSSIANS + 2,), e_al2,
+                         jnp.int32).at[rs.astype(jnp.int32)].min(iota)
+        bound = jax.lax.associative_scan(jnp.minimum, first, reverse=True)
+        seg = csum[bound[1:]] - csum[bound[:-1]]        # [N+1, 9]
+        return jnp.sum(seg) * 1e-9
+
+    def f_ks_split(eps):
+        """prep + key build + sort only (no stream layout/extraction)."""
+        p = prep(eps)
+        ks = binning._sorted_key_stream(jax.lax.stop_gradient(p), s)
+        return reduce_prep(p) + jnp.sum(
+            ks.sorted_packed.astype(jnp.float32)) * 1e-12
 
     # ---- one full trainer iteration (render + loss + grads + both Adams)
     from das3r_tpu.train import step as step_mod
@@ -665,9 +727,15 @@ def build():
         "pairsort_E": f_pairsort_E,
         "scatter_sorted_only": f_scatter_sorted_only,
         "bwd_reduce_sorted": f_bwd_reduce_sorted,
+        "scatter_min_small": f_scatter_min_small,
+        "bwd_reduce_cumsum": f_bwd_reduce_cumsum,
+        "ks_split": f_ks_split,
         "es_blend_bwd": f_es_blend_bwd,
         "gather_E_rows9": f_gather_E_rows9,
         "scatterN_from_E": f_scatterN_from_E,
+        "scatter_clustered": f_scatter_clustered,
+        "gather_clustered": f_gather_clustered,
+        "remap_gather": f_remap_gather,
         "train1": f_train1,
         "gather_lanes9N": f_gather_lanes9N,
         "scatter_add_lanes9N": f_scatter_add_lanes9N,
