@@ -219,3 +219,70 @@ class TestBf16Table:
             # quantized forward => grads differ by the quantization scale,
             # not by structure
             np.testing.assert_allclose(a, b, atol=8e-3 * ref)
+
+
+class TestSegmentSumByRank:
+    """Direct unit test of the scatter-add replacement in the entry-stream
+    backward (`_segment_sum_by_rank`): rank-sort + block-local prefix sums
+    + boundary gathers must equal the scatter-add for every layout a real
+    stream can produce — segments inside one block, segments straddling a
+    block boundary, empty rows, and a many-block pad-sentinel run whose
+    value is allowed to be garbage but must stay finite."""
+
+    def _check(self, rank, n_rows, rng, sentinel=None):
+        from das3r_tpu.ops.splat import entry_blend
+        e = rank.shape[0]
+        assert e % entry_blend._SEG_BLOCK == 0
+        g = jnp.asarray(rng.normal(size=(e, entry_blend.N_ATTR)) * 10.0,
+                        jnp.float32)
+        got = np.asarray(jax.jit(
+            entry_blend._segment_sum_by_rank,
+            static_argnums=2)(g, jnp.asarray(rank), n_rows))
+        want = np.zeros((n_rows, entry_blend.N_ATTR), np.float32)
+        np.add.at(want, rank, np.asarray(g))
+        assert np.isfinite(got).all()
+        rows = np.arange(n_rows)
+        if sentinel is not None:
+            rows = rows[rows != sentinel]     # garbage-but-finite allowed
+        np.testing.assert_allclose(got[rows], want[rows],
+                                   rtol=0, atol=2e-4 * np.abs(want).max())
+
+    def test_random_runs_spanning_blocks(self):
+        from das3r_tpu.ops.splat import entry_blend
+        B = entry_blend._SEG_BLOCK
+        rng = np.random.default_rng(7)
+        n_rows, e = 900, 4 * B
+        # random run lengths <= 700 (< B, so every run spans <= 2 blocks),
+        # several rows empty, remainder filled by the sentinel row
+        counts = np.zeros(n_rows, np.int64)
+        used = 0
+        for r in rng.permutation(n_rows - 1):
+            c = int(rng.integers(0, 700))
+            c = min(c, e - used)
+            counts[r] = c
+            used += c
+            if used == e:
+                break
+        counts[n_rows - 1] += e - counts.sum()   # sentinel soaks the rest
+        rank = np.repeat(np.arange(n_rows), counts).astype(np.int32)
+        rank = rng.permutation(rank)             # stream order is arbitrary
+        self._check(rank, n_rows, rng, sentinel=n_rows - 1)
+
+    def test_exact_block_boundaries(self):
+        from das3r_tpu.ops.splat import entry_blend
+        B = entry_blend._SEG_BLOCK
+        rng = np.random.default_rng(8)
+        # runs engineered to start/end exactly on block boundaries
+        counts = [B, B // 2, B // 2, 1, B - 1, B]
+        n_rows = len(counts) + 3                 # 3 trailing empty rows
+        rank = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+        self._check(rank, n_rows, rng)
+
+    def test_sentinel_spanning_many_blocks(self):
+        from das3r_tpu.ops.splat import entry_blend
+        B = entry_blend._SEG_BLOCK
+        rng = np.random.default_rng(9)
+        n_rows = 5
+        counts = np.array([3, 0, 100, 0, 8 * B - 103])
+        rank = np.repeat(np.arange(n_rows), counts).astype(np.int32)
+        self._check(rank, n_rows, rng, sentinel=n_rows - 1)
