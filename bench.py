@@ -43,16 +43,18 @@ def main():
     mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
         params, meta, settings, poses.all_poses(),
         jnp.asarray(1.0), jnp.asarray(1.0))
+    dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+                  settings.max_tiles_per_gaussian)
     settings = dataclasses.replace(
         settings,
         max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
         # the probed per-Gaussian footprint bounds the binning sort
         # domain (N x cap slots) — see models/autosize.auto_dup_cap
-        max_tiles_per_gaussian=min(
-            -(-max(int(mx_dup * 1.3), 8) // 4) * 4,
-            settings.max_tiles_per_gaussian),
-        # split dup table: only probed-heavy rows get full-width slots
-        heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
+        max_tiles_per_gaussian=dup_cap,
+        # split dup table only at scale (None below the break-even —
+        # measured 3.4 ms/iter loss at this 100k scene, ab_regress_r4)
+        heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy, N_GAUSSIANS,
+                                               dup_cap))
     bg = jnp.zeros(3)
     fov = jnp.asarray(1.0, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH))

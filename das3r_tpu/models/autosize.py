@@ -96,11 +96,27 @@ def auto_dup_cap(params, meta, settings: RasterSettings, poses7,
     return min(-(-cap // 4) * 4, settings.max_tiles_per_gaussian)
 
 
-def auto_heavy_cap(mx_heavy: int, margin: float = 1.5) -> int:
+# Split-table break-even: below this many dup-table slots (N x dup cap)
+# the full-width sort domain is cheap and the split table's heavy-row
+# compaction is pure overhead — measured 3.4 ms/iter LOSS at 100k x 32
+# (3.2M slots; scripts/ab_regress_r4.py, round 4) vs a win at 1.5M x 16+.
+SPLIT_TABLE_MIN_SLOTS = 8 * 1024 * 1024
+
+
+def auto_heavy_cap(mx_heavy: int, n_gaussians: int | None = None,
+                   dup_cap: int | None = None,
+                   margin: float = 1.5) -> int | None:
     """``heavy_rows_cap`` from a probed peak heavy-row count: x margin
     (heavy membership is the most drift-prone capacity — a Gaussian only
     needs to GROW to cross the light width), rounded up to 1024, floored
     at 4096 rows. Overflow during training demotes the farthest heavy
     Gaussians to their first ``light_dup_width`` entries and reports
-    ``heavy_overflow``; the trainer regrows the cap on that signal."""
+    ``heavy_overflow``; the trainer regrows the cap on that signal.
+
+    When ``n_gaussians``/``dup_cap`` are given, returns None (single
+    full-width table) below ``SPLIT_TABLE_MIN_SLOTS`` — the split only
+    pays for itself at scale."""
+    if (n_gaussians is not None and dup_cap is not None
+            and n_gaussians * dup_cap < SPLIT_TABLE_MIN_SLOTS):
+        return None
     return -(-max(int(mx_heavy * margin), 4096) // 1024) * 1024

@@ -475,6 +475,7 @@ def _bwd(settings, n_tiles_out, res, cot):
                             settings, n_tiles_out)
     g_rows = jnp.swapaxes(gattrs, 1, 2).reshape(-1, N_ATTR)   # [E_al, 9]
     if (settings.segsum_grad_reduce
+            and n_rows >= settings.segsum_min_rows
             and settings.max_tiles_per_gaussian <= _SEG_BLOCK
             and g_rows.shape[0] % _SEG_BLOCK == 0):
         g_table = _segment_sum_by_rank(g_rows, rank, n_rows)

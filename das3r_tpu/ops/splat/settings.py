@@ -117,6 +117,13 @@ class RasterSettings:
     # to the scatter when max_tiles_per_gaussian exceeds the segment
     # block (a rank's run must span <= 2 blocks).
     segsum_grad_reduce: bool = True
+    # ...but only at scale: into a SMALL table the scatter-add runs at
+    # ~18 ns/row and the segsum's sort+permute overhead is a measured
+    # ~3.6 ms/iter LOSS at 100k Gaussians (scripts/ab_regress_r4.py,
+    # round 4) while being a multi-x win at 1.5M where the scatter
+    # degrades. Segsum engages only when the table has at least this
+    # many rows (~18 MB at 9 f32 attrs — safely past the scatter cliff).
+    segsum_min_rows: int = 500_000
     # bf16-storage / fp32-accumulation variant of the entry-stream blend:
     # the depth-rank attribute table is stored as [N, 11] bf16 (mean2d as
     # a bf16 hi + lo pair — plain bf16 positions quantize to 2 px at

@@ -96,7 +96,8 @@ def build_scene(
                       max_tiles_per_gaussian)
         settings = dataclasses.replace(
             settings, max_tiles_per_gaussian=dup_cap,
-            heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
+            heavy_rows_cap=autosize.auto_heavy_cap(
+                mx_heavy, params.xyz.shape[0], dup_cap))
     elif entry_cap is None:
         # occupancy depends on geometry/opacity only, not SH degree
         entry_cap = autosize.auto_entry_cap(

@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--windows", type=int, default=3,
                     help="timed windows (best kept)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-heavy", action="store_true",
+                    help="disable the split-width dup table")
+    ap.add_argument("--no-segsum", action="store_true",
+                    help="disable the segsum gradient reduce")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -64,13 +68,15 @@ def main(argv=None):
     fov = jnp.asarray(1.0, jnp.float32)
     mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
         params, meta, settings, pose7s, fov, fov)
+    dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+                  settings.max_tiles_per_gaussian)
     settings = dataclasses.replace(
         settings,
         max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
-        max_tiles_per_gaussian=min(
-            -(-max(int(mx_dup * 1.3), 8) // 4) * 4,
-            settings.max_tiles_per_gaussian),
-        heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy))
+        max_tiles_per_gaussian=dup_cap,
+        heavy_rows_cap=(None if args.no_heavy else
+                        autosize.auto_heavy_cap(mx_heavy, N, dup_cap)),
+        segsum_grad_reduce=not args.no_segsum)
     print(f"# n={N} entries_cap={settings.max_total_entries} "
           f"dup_cap={settings.max_tiles_per_gaussian} "
           f"heavy_cap={settings.heavy_rows_cap}", flush=True)
@@ -87,16 +93,20 @@ def main(argv=None):
             state, meta, uids, gt_images, fovs, fovs, bg, settings, cfg)
         return state, metrics
 
+    # block_until_ready does NOT reliably barrier through the axon relay
+    # (docs/PERF.md round-3 measurement trap (b)); only a scalar host
+    # fetch does. Windows chain through `state`, so each fetch forces the
+    # whole window's computation.
     t0 = time.time()
     state, m = run(state)
-    jax.block_until_ready(m.loss)
+    _ = float(jnp.sum(m.loss))
     print(f"# compile+first window {time.time() - t0:.1f} s", flush=True)
 
     dt = float("inf")
     for _ in range(args.windows):
         t0 = time.perf_counter()
         state, m = run(state)
-        jax.block_until_ready(m.loss)
+        _ = float(jnp.sum(m.loss))
         dt = min(dt, time.perf_counter() - t0)
 
     s_per_iter = dt / args.iters

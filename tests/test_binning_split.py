@@ -145,3 +145,17 @@ class TestSplitTableRender:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(aux1.heavy_overflow) == 0
         assert int(aux1.heavy_rows) == _heavy_rows(p, s0)
+
+
+def test_auto_heavy_cap_gated_by_scale():
+    """auto_heavy_cap returns None (single full-width table) below the
+    split break-even (round-4 measurement: 3.4 ms/iter loss at 100k x 32)
+    and a 1024-rounded cap at production scale."""
+    from das3r_tpu.models import autosize
+    # 100k x 32 = 3.2M slots < 8M -> no split
+    assert autosize.auto_heavy_cap(50_000, 100_000, 32) is None
+    # 1.5M x 16 = 24M slots -> split with margin 1.5, 1024-rounded
+    cap = autosize.auto_heavy_cap(50_000, 1_500_000, 16)
+    assert cap == -(-int(50_000 * 1.5) // 1024) * 1024
+    # legacy call (trainer regrow) stays ungated
+    assert autosize.auto_heavy_cap(50_000) == -(-75_000 // 1024) * 1024

@@ -97,6 +97,33 @@ class TestEntryStreamBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5 * ref)
 
+    def test_segsum_gate_grad_parity(self):
+        """The segsum grad reduce engages only at scale (segsum_min_rows,
+        round-4 gate: scatter-add wins below ~500k rows). Forcing it on at
+        small scale must give the same per-Gaussian gradients as the
+        scatter path — guards the gate wiring in entry_blend._bwd."""
+        rng = np.random.default_rng(13)
+        base = RasterSettings(image_height=64, image_width=96, sh_degree=0,
+                              max_per_tile=1024, max_tiles_per_gaussian=64,
+                              max_total_entries=32_768, entry_stream=True)
+        means, scales, rots, ops, colors = make_scene(700, rng)
+        kw = _kw(base, scales, rots, colors)
+
+        def grads(s):
+            def f(m, o):
+                i, _, _ = rasterize(m, o, s, backend="pallas", **kw)
+                w = jnp.sin(jnp.arange(i.size).reshape(i.shape) * 0.02)
+                return jnp.sum(i * w)
+            return jax.jit(jax.grad(f, argnums=(0, 1)))(
+                jnp.asarray(means), jnp.asarray(ops))
+
+        g_seg = grads(dataclasses.replace(base, segsum_min_rows=0))
+        g_sca = grads(dataclasses.replace(base, segsum_grad_reduce=False))
+        for a, b in zip(g_seg, g_sca):
+            ref = np.abs(np.asarray(b)).max() + 1e-12
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5 * ref)
+
     def test_bg_gradient_covers_empty_tiles(self):
         """A scene leaving whole tiles empty: d(sum image)/d(bg) must count
         every pixel's transmittance, including bg-only tiles (they ride the
