@@ -25,6 +25,33 @@ import numpy as np
 from das3r_tpu.predictor.losses import Stage1Batch
 
 
+def resample_clips_by_stride(clips, strides, dist_type, seed=0):
+    """Stride rebalancing shared by every strided-clip dataset.
+
+    Reference formula (tartanair.py:164-174 == pointodyssey.py:164-174 +
+    utils/misc.py:10-29 ``get_stride_distribution``): weights
+    ``w = linspace(start, end, len(strides))`` normalized by ``max(w)``;
+    the base pool size is the clip count of the stride with the LARGEST
+    weight; each stride keeps ``min(len(pool), int(w_i * base))`` clips,
+    sampled without replacement. Clips are ``(..., stride)`` tuples —
+    the stride is the last element."""
+    if not clips or len(strides) <= 1 or dist_type is None:
+        return clips
+    start, end = map(float, dist_type.split("_")[1:])
+    dist = np.linspace(start, end, len(strides))
+    dist = dist / dist.max()
+    rng = np.random.default_rng(seed)
+    by_stride = {s: [c for c in clips if c[-1] == s] for s in strides}
+    base = len(by_stride[strides[int(np.argmax(dist))]])
+    out = []
+    for s, frac in zip(strides, dist):
+        pool = by_stride[s]
+        want = min(len(pool), int(frac * base))
+        idx = rng.choice(len(pool), want, replace=False)
+        out.extend(pool[i] for i in idx)
+    return out
+
+
 @dataclasses.dataclass
 class TwoViewClip:
     """One training sample (numpy, unbatched)."""
@@ -96,24 +123,8 @@ class PointOdysseyDataset:
             for stride in strides:
                 for ii in range(0, n - 2 * stride + 1, clip_step):
                     self.clips.append((seq, ii, ii + stride, stride))
-        if dist_type and len(strides) > 1 and self.clips:
-            self._resample(strides, dist_type, seed)
-
-    def _resample(self, strides, dist_type, seed):
-        start, end = map(float, dist_type.split("_")[1:])
-        dist = np.linspace(start, end, len(strides))
-        dist = dist / dist.sum()
-        rng = np.random.default_rng(seed)
-        by_stride = {s: [c for c in self.clips if c[3] == s]
-                     for s in strides}
-        total = len(self.clips)
-        out = []
-        for s, frac in zip(strides, dist):
-            pool = by_stride[s]
-            want = min(len(pool), int(round(total * frac)))
-            idx = rng.choice(len(pool), want, replace=False)
-            out.extend(pool[i] for i in idx)
-        self.clips = out
+        self.clips = resample_clips_by_stride(self.clips, strides,
+                                              dist_type, seed)
 
     def __len__(self):
         return len(self.clips)

@@ -9,7 +9,24 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 from das3r_tpu.predictor import dataset_zoo
-from das3r_tpu.predictor.datasets import batch_iterator
+from das3r_tpu.predictor.datasets import (batch_iterator,
+                                          resample_clips_by_stride)
+
+
+def _cv2_has_exr() -> bool:
+    """Some OpenCV builds ship without the OpenEXR codec (cv2.imwrite of
+    .exr raises 'could not find a writer'); skip EXR-backed fixtures."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            return bool(cv2.imwrite(os.path.join(d, "probe.exr"),
+                                    np.zeros((2, 2), np.float32)))
+        except cv2.error:
+            return False
+
+
+needs_exr = pytest.mark.skipif(not _cv2_has_exr(),
+                               reason="cv2 lacks the OpenEXR codec")
 
 RES = (64, 48)          # (W, H)
 SRC_W, SRC_H = 80, 60
@@ -120,6 +137,7 @@ def test_spring_remove_seqs(tmp_path):
     assert len(ds) == 0
 
 
+@needs_exr
 def test_waymo_layout(tmp_path):
     rng = np.random.default_rng(2)
     scene = tmp_path / "seg0"
@@ -169,6 +187,7 @@ def test_scannetpp_layout(tmp_path):
     _check_clip(ds[0])
 
 
+@needs_exr
 def test_staticthings3d_layout(tmp_path):
     rng = np.random.default_rng(5)
     seq = tmp_path / "TRAIN" / "A" / "0000"
@@ -201,6 +220,264 @@ def test_staticthings3d_layout(tmp_path):
     # region survives only if the crop kept it; assert no point beyond 200m
     assert (np.linalg.norm(clip.gt_pts3d_1[clip.valid_1], axis=-1)
             < 200.0).all()
+
+
+def test_co3d_layout(tmp_path):
+    import json
+    rng = np.random.default_rng(6)
+    inst = tmp_path / "apple" / "110_1"
+    (inst / "images").mkdir(parents=True)
+    (inst / "depths").mkdir()
+    (inst / "masks").mkdir()
+    K = np.array([[70.0, 0, SRC_W / 2], [0, 70.0, SRC_H / 2], [0, 0, 1]],
+                 np.float32)
+    for idx in (0, 1, 2):
+        _write_png(str(inst / "images" / f"frame{idx:06d}.jpg"), rng)
+        # depth 3m stored as u16 fraction of maximum_depth 6m
+        cv2.imwrite(str(inst / "depths" / f"frame{idx:06d}.jpg.geometric.png"),
+                    np.full((SRC_H, SRC_W), 32767, np.uint16))
+        mask = np.full((SRC_H, SRC_W), 255, np.uint8)
+        mask[:4, :4] = 0                        # masked-out background
+        cv2.imwrite(str(inst / "masks" / f"frame{idx:06d}.png"), mask)
+        np.savez(inst / "images" / f"frame{idx:06d}.npz",
+                 camera_pose=np.eye(4, dtype=np.float32),
+                 camera_intrinsics=K, maximum_depth=6.0)
+    with open(tmp_path / "selected_seqs_train.json", "w") as f:
+        json.dump({"apple": {"110_1": [0, 1, 2]}}, f)
+
+    ds = dataset_zoo.Co3dDataset(str(tmp_path), split="train",
+                                 resolution=RES)
+    assert len(ds) > 0
+    clip = ds[0]
+    _check_clip(clip)
+    # background mask zeroes depth -> those pixels are invalid
+    assert not clip.valid_1.all()
+
+
+def test_wildrgbd_layout(tmp_path):
+    import json
+    rng = np.random.default_rng(7)
+    inst = tmp_path / "cup" / "scene0"
+    for sub in ("rgb", "depth", "masks", "metadata"):
+        (inst / sub).mkdir(parents=True)
+    K = np.array([[70.0, 0, SRC_W / 2], [0, 70.0, SRC_H / 2], [0, 0, 1]],
+                 np.float32)
+    for idx in (0, 5):
+        _write_png(str(inst / "rgb" / f"{idx:05d}.jpg"), rng)
+        cv2.imwrite(str(inst / "depth" / f"{idx:05d}.png"),
+                    np.full((SRC_H, SRC_W), 3000, np.uint16))  # mm
+        cv2.imwrite(str(inst / "masks" / f"{idx:05d}.png"),
+                    np.full((SRC_H, SRC_W), 255, np.uint8))
+        np.savez(inst / "metadata" / f"{idx:05d}.npz",
+                 camera_pose=np.eye(4, dtype=np.float32),
+                 camera_intrinsics=K, maximum_depth=0.0)
+    with open(tmp_path / "selected_seqs_train.json", "w") as f:
+        json.dump({"cup": {"scene0": [0, 5]}}, f)
+
+    ds = dataset_zoo.WildRGBDDataset(str(tmp_path), split="train",
+                                     resolution=RES)
+    _check_clip(ds[0])
+
+
+def test_arkitscenes_layout(tmp_path):
+    rng = np.random.default_rng(8)
+    scene = tmp_path / "Training" / "sc0"
+    (scene / "vga_wide").mkdir(parents=True)
+    (scene / "lowres_depth").mkdir()
+    names = ["img0.png", "img1.png"]
+    K = np.array([[70.0, 0, SRC_W / 2], [0, 70.0, SRC_H / 2], [0, 0, 1]],
+                 np.float32)
+    for nm in names:
+        _write_png(str(scene / "vga_wide" / nm.replace(".png", ".jpg")), rng)
+        cv2.imwrite(str(scene / "lowres_depth" / nm),
+                    np.full((SRC_H, SRC_W), 3000, np.uint16))  # mm
+    np.savez(tmp_path / "Training" / "all_metadata.npz",
+             scenes=np.array(["sc0"]), sceneids=np.array([0, 0]),
+             images=np.array(names),
+             intrinsics=np.stack([K, K]),
+             trajectories=np.stack([np.eye(4, dtype=np.float32)] * 2),
+             pairs=np.array([[0, 1]]))
+
+    ds = dataset_zoo.ARKitScenesDataset(str(tmp_path), split="train",
+                                        resolution=RES)
+    assert len(ds) == 1
+    _check_clip(ds[0])
+
+
+@needs_exr
+def test_blendedmvs_layout(tmp_path):
+    rng = np.random.default_rng(9)
+    seqh, seql = 0x12, 0x345
+    seq = tmp_path / f"{seqh:08x}{seql:016x}"
+    seq.mkdir()
+    K = np.array([[70.0, 0, SRC_W / 2], [0, 70.0, SRC_H / 2], [0, 0, 1]],
+                 np.float32)
+    for idx in (0, 1, 2):
+        _write_png(str(seq / f"{idx:08d}.jpg"), rng)
+        cv2.imwrite(str(seq / f"{idx:08d}.exr"),
+                    np.full((SRC_H, SRC_W), 3.0, np.float32))
+        np.savez(seq / f"{idx:08d}.npz", intrinsics=K,
+                 R_cam2world=np.eye(3, dtype=np.float32),
+                 t_cam2world=np.zeros(3, np.float32))
+    pairs = np.array([(seqh, seql, 0, 1, 0.5), (seqh, seql, 1, 2, 0.5)],
+                     dtype=[("seq_high", "i8"), ("seq_low", "i8"),
+                            ("im1", "i4"), ("im2", "i4"), ("score", "f4")])
+    np.save(tmp_path / "blendedmvs_pairs.npy", pairs)
+
+    # seq_low % 10 = 5 -> train split keeps it, val drops it
+    ds = dataset_zoo.BlendedMVSDataset(str(tmp_path), split="train",
+                                       resolution=RES)
+    assert len(ds) == 2
+    _check_clip(ds[0])
+    assert len(dataset_zoo.BlendedMVSDataset(str(tmp_path),
+                                             split="val")) == 0
+
+
+@needs_exr
+def test_megadepth_layout(tmp_path):
+    rng = np.random.default_rng(10)
+    seq = tmp_path / "0001" / "dense0"
+    seq.mkdir(parents=True)
+    K = np.array([[70.0, 0, SRC_W / 2], [0, 70.0, SRC_H / 2], [0, 0, 1]],
+                 np.float32)
+    for img in ("a", "b"):
+        _write_png(str(seq / (img + ".jpg")), rng)
+        cv2.imwrite(str(seq / (img + ".exr")),
+                    np.full((SRC_H, SRC_W), 3.0, np.float32))
+        np.savez(seq / (img + ".npz"), intrinsics=K,
+                 cam2world=np.eye(4, dtype=np.float32))
+    pairs = np.array([(0, 0, 1, 0.5)],
+                     dtype=[("scene_id", "i4"), ("im1_id", "i4"),
+                            ("im2_id", "i4"), ("score", "f4")])
+    np.savez(tmp_path / "all_metadata.npz",
+             scenes=np.array(["0001 dense0"]),
+             images=np.array(["a", "b"]), pairs=pairs)
+
+    ds = dataset_zoo.MegaDepthDataset(str(tmp_path), split="train",
+                                      resolution=RES)
+    assert len(ds) == 1
+    _check_clip(ds[0])
+    # scenes 0015/0022 are the val split -> this scene is train-only
+    assert len(dataset_zoo.MegaDepthDataset(str(tmp_path),
+                                            split="val")) == 0
+
+
+@needs_exr
+def test_habitat_layout(tmp_path):
+    import json
+    rng = np.random.default_rng(11)
+    scene_dir = tmp_path / "room0"
+    scene_dir.mkdir()
+    K = np.array([[70.0, 0, SRC_W / 2], [0, 70.0, SRC_H / 2], [0, 0, 1]],
+                 np.float32)
+    for i in range(1, 6):
+        _write_png(str(scene_dir / f"key_{i}.jpeg").replace(".jpeg", ".png"),
+                   rng)
+        os.rename(str(scene_dir / f"key_{i}.png"),
+                  str(scene_dir / f"key_{i}.jpeg"))
+        cv2.imwrite(str(scene_dir / f"key_{i}_depth.exr"),
+                    np.full((SRC_H, SRC_W), 3.0, np.float32))
+        with open(scene_dir / f"key_{i}_camera_params.json", "w") as f:
+            json.dump({"camera_intrinsics": K.tolist(),
+                       "R_cam2world": np.eye(3).tolist(),
+                       "t_cam2world": [0.0, 0.0, 0.0]}, f)
+    with open(tmp_path / "Habitat_1000_scenes_train.txt", "w") as f:
+        f.write("room0/key\n")
+
+    ds = dataset_zoo.HabitatDataset(str(tmp_path), 1000, split="train",
+                                    resolution=RES)
+    assert len(ds) == 4                       # view 0 paired with 1..4
+    _check_clip(ds[0])
+
+
+def test_dynamic_replica_layout(tmp_path):
+    import json
+    from PIL import Image
+    rng = np.random.default_rng(12)
+    (tmp_path / "seqA").mkdir()
+    anno = []
+    n = 5
+    for i in range(n):
+        img_rel = f"seqA/img_{i:04d}.png"
+        dep_rel = f"seqA/dep_{i:04d}.png"
+        _write_png(str(tmp_path / img_rel), rng)
+        # f16 depth 3.0 bit-cast into u16 png
+        d16 = np.full((SRC_H, SRC_W), 3.0, np.float16).view(np.uint16)
+        Image.fromarray(d16).save(tmp_path / dep_rel)
+        anno.append({
+            "sequence_name": "seqA",
+            "image": {"path": img_rel}, "depth": {"path": dep_rel},
+            "viewpoint": {
+                "focal_length": [2.0, 2.0], "principal_point": [0.0, 0.0],
+                "intrinsics_format": "ndc_isotropic",
+                "R": np.eye(3).tolist(), "T": [0.0, 0.0, 0.0]}})
+    with open(tmp_path / "frame_annotations_train.json", "w") as f:
+        json.dump(anno, f)
+
+    ds = dataset_zoo.DynamicReplicaDataset(str(tmp_path), strides=(1, 2),
+                                           clip_step=1, resolution=RES,
+                                           dist_type="linear_1_2")
+    assert len(ds) > 0
+    clip = ds[0]
+    W, H = RES
+    assert clip.img1.shape == (3, H, W)
+    assert clip.valid_1.any()
+    # NDC isotropic: f_px = 2 * min(W,H)/2 = SRC_H -> a real pinhole;
+    # recovered camera-frame depth must be the 3m plane
+    w2c = np.linalg.inv(clip.camera_pose_1)
+    cam = clip.gt_pts3d_1 @ w2c[:3, :3].T + w2c[:3, 3]
+    z = cam[..., 2][clip.valid_1]
+    np.testing.assert_allclose(z, 3.0, atol=0.01)
+
+
+def test_ndc_to_pixel_intrinsics_formats():
+    K_iso = dataset_zoo.ndc_to_pixel_intrinsics(
+        [2.0, 2.0], [0.1, -0.2], 80, 60, "ndc_isotropic")
+    # rescale = min(40, 30) = 30 -> f = 60, pp = (40 - 3, 30 + 6)
+    np.testing.assert_allclose(np.diag(K_iso)[:2], [60, 60])
+    np.testing.assert_allclose([K_iso[0, 2], K_iso[1, 2]], [37, 36])
+    K_b = dataset_zoo.ndc_to_pixel_intrinsics(
+        [2.0, 2.0], [0.0, 0.0], 80, 60, "ndc_norm_image_bounds")
+    np.testing.assert_allclose(np.diag(K_b)[:2], [80, 60])
+    with pytest.raises(ValueError):
+        dataset_zoo.ndc_to_pixel_intrinsics([1, 1], [0, 0], 8, 6, "nope")
+
+
+def test_resample_matches_reference_formula():
+    """Keep counts follow tartanair.py:164-170: weights linspace/max, base
+    pool = the stride with the LARGEST weight (for linear_1_2 the last
+    stride), keep min(pool, w_i * base) per stride."""
+    # pools: stride 1 -> 10 clips, stride 2 -> 6, stride 3 -> 4
+    clips = ([("a", i, i + 1, 1) for i in range(10)]
+             + [("a", i, i + 2, 2) for i in range(6)]
+             + [("a", i, i + 3, 3) for i in range(4)])
+    out = resample_clips_by_stride(clips, (1, 2, 3), "linear_1_2", seed=0)
+    counts = {s: sum(1 for c in out if c[-1] == s) for s in (1, 2, 3)}
+    # weights 1, 1.5, 2 -> /max = 0.5, 0.75, 1.0; base = pool(stride 3) = 4
+    assert counts == {1: min(10, int(0.5 * 4)),
+                      2: min(6, int(0.75 * 4)),
+                      3: 4}
+    # no duplicates; every kept clip came from the input
+    assert len(set(map(tuple, out))) == len(out)
+    assert set(map(tuple, out)) <= set(map(tuple, clips))
+
+
+def test_pointodyssey_uses_shared_resampler(tmp_path):
+    """PointOdysseyDataset now applies the one shared reference-formula
+    resampler (ADVICE r3: two divergent copies invited drift)."""
+    from das3r_tpu.predictor import datasets as ds_mod
+    seq = tmp_path / "train" / "seq0"
+    (seq / "rgbs").mkdir(parents=True)
+    (seq / "trajs_3d").mkdir()
+    for i in range(6):
+        (seq / "rgbs" / f"rgb_{i:05d}.jpg").write_bytes(b"")
+    ds = ds_mod.PointOdysseyDataset(str(tmp_path), split="train",
+                                    strides=(1, 2), clip_step=1,
+                                    dist_type="linear_1_2", seed=0)
+    counts = {s: sum(1 for c in ds.clips if c[-1] == s) for s in (1, 2)}
+    # pools: stride1 -> 5, stride2 -> 3; weights [1,2]/2 = [0.5, 1];
+    # base = pool(argmax weight) = 3 -> keep {1: int(0.5*3)=1, 2: 3}
+    assert counts == {1: 1, 2: 3}
 
 
 def test_zoo_batches_feed_stage1(tmp_path):
