@@ -104,6 +104,9 @@ def run_scene(
     max_frames: int | None = None,
     flows=None,
     raft_params=None,
+    mask_refiner=None,   # VideoMaskPropagator (mask_refine.py) — the SAM2
+                         # refinement slot, off by default like the
+                         # reference (training.py:122 sam2_mask_refine)
     verbose=print,
 ) -> Stage1Result:
     images01, names = load_frames(image_dir, size=size, stride=stride,
@@ -137,6 +140,14 @@ def run_scene(
             preds.mask_i, aligner_cfg)
     verbose(f"stage1: alignment loss {scene.final_loss:.5f}")
 
+    if mask_refiner is not None:
+        from das3r_tpu.predictor import mask_refine
+        refined = mask_refine.refine_motion_masks(
+            scene.dynamic_masks, images01, mask_refiner)
+        verbose(f"stage1: mask refinement grew "
+                f"{int(refined.sum() - scene.dynamic_masks.sum())} px")
+        scene = scene._replace(dynamic_masks=refined)
+
     save_stage1_outputs(out_dir, images01, scene)
     return Stage1Result(scene=scene, n_frames=F, out_dir=out_dir)
 
@@ -154,6 +165,10 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--motion_mask_thre", type=float, default=0.35)
+    ap.add_argument("--refine_masks", action="store_true",
+                    help="video-propagation mask refinement (the SAM2 "
+                         "slot, optimizer.py:226-301; default propagator "
+                         "is the dependency-free NeighborPropagator)")
     ap.add_argument("--bf16", action="store_true",
                     help="run the ViT trunk in bfloat16 (heads fp32)")
     args = ap.parse_args(argv)
@@ -171,9 +186,14 @@ def main(argv=None):
         convert_torch_state_dict(load_torch_checkpoint(args.ckpt)))
     cfg = alignment.AlignerConfig(niter=args.n_iter, lr=args.lr,
                                   motion_mask_thre=args.motion_mask_thre)
+    refiner = None
+    if args.refine_masks:
+        from das3r_tpu.predictor.mask_refine import NeighborPropagator
+        refiner = NeighborPropagator()
     run_scene(args.image_dir, args.output_dir, model, params,
               scene_graph=args.scene_graph, aligner_cfg=cfg,
-              stride=args.stride, max_frames=args.max_frames)
+              stride=args.stride, max_frames=args.max_frames,
+              mask_refiner=refiner)
 
 
 if __name__ == "__main__":
