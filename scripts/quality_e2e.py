@@ -45,6 +45,13 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max_points", type=int, default=0,
                     help="0 = reference dense init (all confident pixels)")
+    ap.add_argument("--pose_noise", type=float, default=0.0,
+                    help="perturb the stage-1 trajectory before training "
+                         "(translation sigma in world units; rotation "
+                         "sigma = same value in radians) and report "
+                         "Sim3-ATE of the learned train poses vs the true "
+                         "trajectory — the trainer's camera-Adam recovery "
+                         "capability (train_gui.py PSNR-gated pose step)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -92,6 +99,31 @@ def main(argv=None):
             aligner_cfg=alignment.AlignerConfig(niter=50), size=64,
             verbose=lambda *_: None)
 
+    gt_c2w = None
+    if args.pose_noise > 0:
+        # Perturb the stage-1 trajectory IN the stage-1 dir, before the
+        # bridge: rearrange derives both pred_traj.txt and the COLMAP
+        # sparse/0/images.txt (the trainer's pose init,
+        # scene_setup poses_w2c_colmap) from this file.
+        import numpy as np
+        from das3r_tpu.data import trajectory as traj_io
+        traj_path = os.path.join(stage1_dir, "pred_traj.txt")
+        _, pos, quat = traj_io.read_tum(traj_path)
+        gt_c2w = traj_io.tum_to_c2w(pos, quat)
+        rng = np.random.default_rng(11)
+        noisy = gt_c2w.copy()
+        noisy[:, :3, 3] += rng.normal(0, args.pose_noise, (len(pos), 3))
+        for f in range(len(pos)):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            ang = rng.normal(0, args.pose_noise)
+            K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            R = (np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K)
+            noisy[f, :3, :3] = R @ noisy[f, :3, :3]
+        npos, nquat = traj_io.c2w_to_tum(noisy)
+        traj_io.write_tum(traj_path, npos, nquat)
+
     rearrange.rearrange_scene(stage1_dir, scene_dir)
     # GT dynamic masks in the DAVIS layout (<root>/<seq>/00000.png) so the
     # test PSNR is masked exactly per protocol (BASELINE.md: image and GT
@@ -128,6 +160,26 @@ def main(argv=None):
                 psnr = float(m.group(2))
     assert psnr is not None, f"no final test PSNR in {test_log}"
 
+    pose_detail = {}
+    if gt_c2w is not None:
+        import numpy as np
+        from das3r_tpu.data import trajectory as traj_io
+        from das3r_tpu.eval import trajectory as traj_eval
+        train_idx = [i for i in range(args.frames)
+                     if (i + 5) % 10 != 0]          # (i+5)%10==0 is test
+        gt_train = gt_c2w[train_idx]
+        est_w2c = np.load(os.path.join(model_dir, "pose",
+                                       f"pose_{args.iters}.npy"))
+        noisy_w2c = np.load(os.path.join(model_dir, "pose",
+                                         "pose_org.npy"))
+        m_final = traj_eval.eval_metrics(np.linalg.inv(est_w2c), gt_train)
+        m_init = traj_eval.eval_metrics(np.linalg.inv(noisy_w2c), gt_train)
+        pose_detail = {"pose_noise": args.pose_noise,
+                       "ate_init": round(m_init.ate, 5),
+                       "ate_final": round(m_final.ate, 5),
+                       "rpe_trans_final": round(m_final.rpe_trans, 5),
+                       "rpe_rot_final": round(m_final.rpe_rot, 4)}
+
     print(json.dumps({
         "metric": f"synthetic_e2e_masked_test_psnr_{args.iters}it",
         "value": round(psnr, 3),
@@ -136,7 +188,7 @@ def main(argv=None):
         "detail": {"frames": args.frames, "hw": [args.height, args.width],
                    "stage1": args.stage1,
                    "stage1_s": round(t_stage1, 1),
-                   "train_s": round(t_train, 1)},
+                   "train_s": round(t_train, 1), **pose_detail},
     }))
 
 
