@@ -63,6 +63,12 @@ class AlignerConfig:
     pxl_thre: float = 50.0
     depth_regularize_weight: float = 0.0
     motion_mask_thre: float = 0.35
+    # Known-focal preset (reference preset_focal, optimizer.py:309-334;
+    # used by pose_eval's --use_gt_focal flow, pose_eval.py:129-144):
+    # per-frame focals in model pixels (or a single shared value). When
+    # set, focal_log is initialized from these and FROZEN (lr 0 — the
+    # requires_grad=False of the reference).
+    preset_focals: tuple | None = None
 
 
 class EdgeData(NamedTuple):
@@ -518,9 +524,10 @@ def optimize(params: AlignParams, edge: EdgeData, dyn_masks,
             params, state = carry
             lr, it = inp
             lossv, grads = jax.value_and_grad(loss_fn)(params, it)
+            focal_lr = 0.0 if cfg.preset_focals is not None else lr
             lr_tree = AlignParams(
-                pw_poses=lr, im_poses=lr, depth_log=lr, focal_log=lr,
-                pp_off=lr * pp_lr_scale)
+                pw_poses=lr, im_poses=lr, depth_log=lr,
+                focal_log=focal_lr, pp_off=lr * pp_lr_scale)
             new_params, new_state = optim_mod.adam_step(
                 params, grads, state, lr_tree, b1=0.9, b2=0.9, eps=1e-8)
             return (new_params, new_state), lossv
@@ -572,6 +579,10 @@ def align(edges: list, pred_i, pred_j, conf_i, conf_j, mask_i,
 
     pts3d, im_poses, im_focals = mst_init(
         edges, pred_i, pred_j, conf_i, conf_j, im_conf, cfg)
+    if cfg.preset_focals is not None:
+        im_focals = np.broadcast_to(
+            np.asarray(cfg.preset_focals, np.float32).reshape(-1),
+            (n_frames,)).copy()
     params = build_init_params(edges, pred_i, conf_i, pts3d, im_poses,
                                im_focals, cfg)
 

@@ -106,6 +106,29 @@ class TestFullAlignment:
         m = traj_eval.eval_metrics(out.poses_c2w, gt_poses)
         assert m.ate < 0.05
 
+    def test_preset_focal_fixed_and_used(self):
+        """Known-focal preset (reference preset_focal via --use_gt_focal,
+        pose_eval.py:129-144): the given focal must come out EXACTLY
+        (frozen, lr 0) and alignment must still recover the poses."""
+        (edges, pred_i, pred_j, conf, mask, gt_poses, _, gt_focal
+         ) = make_multiview_scene()
+        cfg = alignment.AlignerConfig(niter=30, flow_loss_weight=0.0,
+                                      temporal_smoothing_weight=0.0,
+                                      preset_focals=(float(gt_focal),))
+        out = alignment.align(edges, pred_i, pred_j, conf, conf, mask, cfg)
+        np.testing.assert_allclose(out.focals, gt_focal, rtol=1e-6)
+        m = traj_eval.eval_metrics(out.poses_c2w, gt_poses)
+        assert m.ate < 5e-3
+        # per-frame preset too (shared_focal off)
+        cfg2 = alignment.AlignerConfig(
+            niter=5, flow_loss_weight=0.0, temporal_smoothing_weight=0.0,
+            shared_focal=False,
+            preset_focals=tuple(float(gt_focal)
+                                for _ in range(len(gt_poses))))
+        out2 = alignment.align(edges, pred_i, pred_j, conf, conf, mask,
+                               cfg2)
+        np.testing.assert_allclose(out2.focals, gt_focal, rtol=1e-6)
+
     def test_dynamic_aggregation(self):
         (edges, pred_i, pred_j, conf, mask, *_ ) = make_multiview_scene()
         mask = mask.copy()
