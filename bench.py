@@ -40,21 +40,21 @@ def main():
     # sizes the entry stream from measured occupancy; the stream path is
     # EXACT (no per-tile truncation, unlike the round-1 [T, K] config)
     import dataclasses
-    mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
+    stats = autosize.probe_capacities(
         params, meta, settings, poses.all_poses(),
         jnp.asarray(1.0), jnp.asarray(1.0))
-    dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+    dup_cap = min(-(-max(int(stats.max_dup * 1.3), 8) // 4) * 4,
                   settings.max_tiles_per_gaussian)
     settings = dataclasses.replace(
         settings,
-        max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
+        max_total_entries=-(-max(int(stats.max_total * 1.2), 8192)
+                            // 1024) * 1024,
         # the probed per-Gaussian footprint bounds the binning sort
         # domain (N x cap slots) — see models/autosize.auto_dup_cap
         max_tiles_per_gaussian=dup_cap,
-        # split dup table only at scale (None below the break-even —
+        # split dup table only where it wins (no-split below break-even —
         # measured 3.4 ms/iter loss at this 100k scene, ab_regress_r4)
-        heavy_rows_cap=autosize.auto_heavy_cap(mx_heavy, N_GAUSSIANS,
-                                               dup_cap))
+        **autosize.auto_split_table(stats, N_GAUSSIANS, dup_cap))
     bg = jnp.zeros(3)
     fov = jnp.asarray(1.0, jnp.float32)
     gt = jnp.zeros((3, HEIGHT, WIDTH))

@@ -14,6 +14,7 @@ margin (Gaussians move during training; overflow is reported via
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -21,19 +22,30 @@ import jax.numpy as jnp
 from das3r_tpu.ops.splat import RasterSettings
 
 
-def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
-                      fovx, fovy, mode: str = "train",
-                      max_views: int = 8):
-    """(max total entries, max per-tile count, max tiles/Gaussian,
-    max heavy rows) over sampled views.
+class ProbeStats(NamedTuple):
+    """Per-scene capacity probe results (max over sampled views)."""
+    max_total: int      # peak 128-aligned kept entry total
+    max_tile: int       # peak per-tile occupancy
+    max_dup: int        # peak per-Gaussian rect tile count (pre-cap)
+    heavy_rows: int     # Gaussians touching > settings.light_dup_width
+    dup_hist: tuple     # counts > each rasterize.DUP_HIST_WIDTHS entry
+
+
+def probe_capacities(params, meta, settings: RasterSettings, poses7,
+                     fovx, fovy, mode: str = "train",
+                     max_views: int = 8) -> ProbeStats:
+    """One cheap probe pass over sampled views.
 
     ``poses7``: [F, 7] pose array; up to ``max_views`` evenly-spaced views
     are rendered with a throwaway 128-capacity config (counts come from the
     pre-truncation binning telemetry, so the tiny capacity is free).
     "Heavy rows" = Gaussians touching more than
     ``settings.light_dup_width`` tiles — the row count the split dup
-    table's heavy side must hold (RasterAux.heavy_rows)."""
+    table's heavy side must hold (RasterAux.heavy_rows); ``dup_hist``
+    gives the same count at every candidate light width so
+    ``auto_split_table`` can pick the cheapest split."""
     from das3r_tpu.models import render as render_mod
+    from das3r_tpu.ops.splat.rasterize import DUP_HIST_WIDTHS
 
     probe_settings = dataclasses.replace(
         settings, max_per_tile=128, entry_stream=False,
@@ -47,7 +59,7 @@ def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
     @jax.jit
     def run(stacked):
         def body(carry, pose7):
-            mx_total, mx_tile, mx_dup, mx_heavy = carry
+            mx_total, mx_tile, mx_dup, mx_heavy, mx_hist = carry
             out = render_mod.render(params, meta, probe_settings, pose7,
                                     jnp.zeros(3), fovx, fovy, mode=mode)
             fc = out.aux.n_contrib_tiles
@@ -55,14 +67,26 @@ def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
             return (jnp.maximum(mx_total, aligned),
                     jnp.maximum(mx_tile, jnp.max(fc)),
                     jnp.maximum(mx_dup, out.aux.max_tiles_touched),
-                    jnp.maximum(mx_heavy, out.aux.heavy_rows)), ()
-        (mx_total, mx_tile, mx_dup, mx_heavy), _ = jax.lax.scan(
-            body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-            stacked)
-        return mx_total, mx_tile, mx_dup, mx_heavy
+                    jnp.maximum(mx_heavy, out.aux.heavy_rows),
+                    jnp.maximum(mx_hist, out.aux.dup_hist)), ()
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.zeros(len(DUP_HIST_WIDTHS), jnp.int32))
+        (mx_total, mx_tile, mx_dup, mx_heavy, mx_hist), _ = jax.lax.scan(
+            body, init, stacked)
+        return mx_total, mx_tile, mx_dup, mx_heavy, mx_hist
 
-    mx_total, mx_tile, mx_dup, mx_heavy = run(poses7)
-    return int(mx_total), int(mx_tile), int(mx_dup), int(mx_heavy)
+    mx_total, mx_tile, mx_dup, mx_heavy, mx_hist = run(poses7)
+    return ProbeStats(int(mx_total), int(mx_tile), int(mx_dup),
+                      int(mx_heavy), tuple(int(c) for c in mx_hist))
+
+
+def probe_entry_stats(params, meta, settings: RasterSettings, poses7,
+                      fovx, fovy, mode: str = "train",
+                      max_views: int = 8):
+    """Legacy 4-tuple view of :func:`probe_capacities`."""
+    st = probe_capacities(params, meta, settings, poses7, fovx, fovy,
+                          mode=mode, max_views=max_views)
+    return st.max_total, st.max_tile, st.max_dup, st.heavy_rows
 
 
 def auto_entry_cap(params, meta, settings: RasterSettings, poses7,
@@ -120,3 +144,32 @@ def auto_heavy_cap(mx_heavy: int, n_gaussians: int | None = None,
             and n_gaussians * dup_cap < SPLIT_TABLE_MIN_SLOTS):
         return None
     return -(-max(int(mx_heavy * margin), 4096) // 1024) * 1024
+
+
+def auto_split_table(stats: ProbeStats, n_gaussians: int, dup_cap: int,
+                     margin: float = 1.5):
+    """Pick the split-table shape minimizing the binning sort domain.
+
+    The domain is ``n*L + heavy_cap(L) * (dup_cap - L)`` slots; the probe
+    histogram gives heavy_cap at every candidate L (round-4 profile: the
+    key sort is ~30% of the 1.5M step and scales with this domain, so a
+    poorly-chosen light width — e.g. the old fixed L=4 putting 42% of
+    Gaussians in full-width rows — costs >100 ms/iter). Returns
+    ``{"light_dup_width": L, "heavy_rows_cap": cap}`` or
+    ``{"heavy_rows_cap": None}`` when no split beats the full-width table
+    or the domain is below ``SPLIT_TABLE_MIN_SLOTS``."""
+    from das3r_tpu.ops.splat.rasterize import DUP_HIST_WIDTHS
+
+    no_split = {"heavy_rows_cap": None}
+    if n_gaussians * dup_cap < SPLIT_TABLE_MIN_SLOTS:
+        return no_split
+    best_cost, best = n_gaussians * dup_cap, no_split
+    for w, cnt in zip(DUP_HIST_WIDTHS, stats.dup_hist):
+        if not 0 < w < dup_cap:
+            continue
+        h_cap = -(-max(int(cnt * margin), 4096) // 1024) * 1024
+        cost = n_gaussians * w + h_cap * (dup_cap - w)
+        if cost < best_cost:
+            best_cost = cost
+            best = {"light_dup_width": w, "heavy_rows_cap": h_cap}
+    return best

@@ -31,6 +31,13 @@ from das3r_tpu.ops.splat import binning, blend, preprocess as prep_mod
 from das3r_tpu.ops.splat.settings import RasterSettings
 
 
+# Candidate light widths for the split dup table; ``RasterAux.dup_hist``
+# counts binnable Gaussians whose (d_cap-capped) footprint EXCEEDS each —
+# models/autosize.auto_split_table picks the width minimizing the binning
+# sort domain from this probe.
+DUP_HIST_WIDTHS = (2, 4, 6, 8, 10, 12, 16, 20, 24, 28)
+
+
 class RasterAux(NamedTuple):
     n_contrib_tiles: jax.Array   # [T] live Gaussians per tile (pre-truncation)
     tile_overflow: jax.Array     # [] tiles whose list was truncated to K
@@ -48,6 +55,19 @@ class RasterAux(NamedTuple):
     # ``light_dup_width`` tiles this render — feeds the autosize
     # heavy-rows probe and regrow sizing
     heavy_rows: jax.Array
+    # [len(DUP_HIST_WIDTHS)] footprint histogram (counts > each width)
+    dup_hist: jax.Array
+
+
+def _dup_telemetry(p, settings: RasterSettings):
+    """(max_tiles_touched, heavy_rows, dup_hist) from preprocess outputs."""
+    ntt = jnp.minimum(p.n_tiles_touched, settings.max_tiles_per_gaussian)
+    live = p.binnable
+    heavy_rows = jnp.sum(
+        ((ntt > settings.light_dup_width) & live).astype(jnp.int32))
+    hist = jnp.stack([jnp.sum(((ntt > w) & live).astype(jnp.int32))
+                      for w in DUP_HIST_WIDTHS])
+    return jnp.max(p.n_tiles_touched), heavy_rows, hist
 
 
 def rasterize(
@@ -133,16 +153,15 @@ def rasterize(
         cpre, tfinal = entry_blend.render_tiles(table, es, bg, settings)
         tiles = cpre + tfinal * bg.reshape(1, 3, 1)     # [T, 3, P]
         img = blend.assemble_image(jnp.swapaxes(tiles, 1, 2), settings)
+        mtt, hrows, hist = _dup_telemetry(p, settings)
         aux = RasterAux(
             n_contrib_tiles=es.count,
             tile_overflow=jnp.zeros((), jnp.int32),  # no capacity: exact
             dup_overflow=es.dup_overflow,
             entry_overflow=es.entry_overflow,
-            max_tiles_touched=jnp.max(p.n_tiles_touched),
+            max_tiles_touched=mtt,
             heavy_overflow=es.heavy_overflow,
-            heavy_rows=jnp.sum(
-            ((jnp.minimum(p.n_tiles_touched, settings.max_tiles_per_gaussian)
-              > settings.light_dup_width) & p.binnable).astype(jnp.int32)),
+            heavy_rows=hrows, dup_hist=hist,
         )
         return img, p.radius, aux
 
@@ -183,17 +202,16 @@ def rasterize(
             img = blend.blend_tiles(binputs, bins, settings, bg, chunk=chunk,
                                     tile_batch=tile_batch)
 
+    mtt, hrows, hist = _dup_telemetry(p, settings)
     aux = RasterAux(
         n_contrib_tiles=bins.full_count,
         tile_overflow=jnp.sum(
             (bins.full_count > settings.max_per_tile).astype(jnp.int32)),
         dup_overflow=bins.dup_overflow,
         entry_overflow=bins.entry_overflow,
-        max_tiles_touched=jnp.max(p.n_tiles_touched),
+        max_tiles_touched=mtt,
         heavy_overflow=bins.heavy_overflow,
-        heavy_rows=jnp.sum(
-        ((jnp.minimum(p.n_tiles_touched, settings.max_tiles_per_gaussian)
-          > settings.light_dup_width) & p.binnable).astype(jnp.int32)),
+        heavy_rows=hrows, dup_hist=hist,
     )
     return img, p.radius, aux
 
@@ -261,15 +279,14 @@ def _entry_stream_sharded(p, settings: RasterSettings, bg, mesh, tile_axis):
 
     img = blend.assemble_image(
         jnp.swapaxes(tiles[: s.n_tiles], 1, 2), settings)
+    mtt, hrows, hist = _dup_telemetry(p, s)
     aux = RasterAux(
         n_contrib_tiles=count[: s.n_tiles],
         tile_overflow=jnp.zeros((), jnp.int32),   # no per-tile capacity
         dup_overflow=ks.dup_overflow,
         entry_overflow=ks.entry_overflow + jnp.sum(drop),
-        max_tiles_touched=jnp.max(p.n_tiles_touched),
+        max_tiles_touched=mtt,
         heavy_overflow=ks.heavy_overflow,
-        heavy_rows=jnp.sum(
-            ((jnp.minimum(p.n_tiles_touched, s.max_tiles_per_gaussian)
-              > s.light_dup_width) & p.binnable).astype(jnp.int32)),
+        heavy_rows=hrows, dup_hist=hist,
     )
     return img, p.radius, aux

@@ -87,17 +87,18 @@ def build_scene(
         depth_sort_bits=0)
     from das3r_tpu.models import autosize
     if entry_cap is None and probe_dup_cap:
-        # one probe pass yields all three capacities
-        mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
+        # one probe pass yields all the capacities
+        stats = autosize.probe_capacities(
             params, meta, settings, poses.all_poses(),
             float(train.fovx[0]), float(train.fovy[0]))
-        entry_cap = -(-max(int(mx_total * 1.2), 8 * 1024) // 1024) * 1024
-        dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+        entry_cap = -(-max(int(stats.max_total * 1.2), 8 * 1024)
+                      // 1024) * 1024
+        dup_cap = min(-(-max(int(stats.max_dup * 1.3), 8) // 4) * 4,
                       max_tiles_per_gaussian)
         settings = dataclasses.replace(
             settings, max_tiles_per_gaussian=dup_cap,
-            heavy_rows_cap=autosize.auto_heavy_cap(
-                mx_heavy, params.xyz.shape[0], dup_cap))
+            **autosize.auto_split_table(stats, params.xyz.shape[0],
+                                        dup_cap))
     elif entry_cap is None:
         # occupancy depends on geometry/opacity only, not SH degree
         entry_cap = autosize.auto_entry_cap(

@@ -66,19 +66,21 @@ def main(argv=None):
         n=N, n_frames=2, height=H, width=W, seed=0)
     pose7s = poses.all_poses()
     fov = jnp.asarray(1.0, jnp.float32)
-    mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
-        params, meta, settings, pose7s, fov, fov)
-    dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4,
+    stats = autosize.probe_capacities(params, meta, settings, pose7s,
+                                      fov, fov)
+    dup_cap = min(-(-max(int(stats.max_dup * 1.3), 8) // 4) * 4,
                   settings.max_tiles_per_gaussian)
+    split = ({"heavy_rows_cap": None} if args.no_heavy else
+             autosize.auto_split_table(stats, N, dup_cap))
     settings = dataclasses.replace(
         settings,
-        max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
+        max_total_entries=-(-max(int(stats.max_total * 1.2), 8192)
+                            // 1024) * 1024,
         max_tiles_per_gaussian=dup_cap,
-        heavy_rows_cap=(None if args.no_heavy else
-                        autosize.auto_heavy_cap(mx_heavy, N, dup_cap)),
-        segsum_grad_reduce=not args.no_segsum)
+        segsum_grad_reduce=not args.no_segsum, **split)
     print(f"# n={N} entries_cap={settings.max_total_entries} "
           f"dup_cap={settings.max_tiles_per_gaussian} "
+          f"light={settings.light_dup_width} "
           f"heavy_cap={settings.heavy_rows_cap}", flush=True)
 
     cfg = OptimizationConfig(iterations=4000)

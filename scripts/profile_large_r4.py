@@ -47,7 +47,7 @@ def main(argv=None):
     from das3r_tpu.models import autosize
     from das3r_tpu.models import render as render_mod
     from das3r_tpu.ops.splat import RasterSettings, binning
-    from das3r_tpu.ops.splat import preprocess as prep_mod
+    from das3r_tpu.ops.splat.preprocess import preprocess as preprocess_fn
     from das3r_tpu.ops.splat import entry_blend
     from das3r_tpu.train import loss as loss_mod
     from das3r_tpu.train import step as step_mod
@@ -62,18 +62,21 @@ def main(argv=None):
     params, meta, poses = random_gaussian_scene(
         n=N, n_frames=2, height=H, width=W, seed=0)
     fov = jnp.asarray(1.0, jnp.float32)
-    mx_total, _, mx_dup, mx_heavy = autosize.probe_entry_stats(
+    stats = autosize.probe_capacities(
         params, meta, settings, poses.all_poses(), fov, fov)
-    dup_cap = min(-(-max(int(mx_dup * 1.3), 8) // 4) * 4, 32)
+    dup_cap = min(-(-max(int(stats.max_dup * 1.3), 8) // 4) * 4, 32)
+    split = ({"heavy_rows_cap": None} if args.no_heavy else
+             autosize.auto_split_table(stats, N, dup_cap))
     settings = dataclasses.replace(
         settings,
-        max_total_entries=-(-max(int(mx_total * 1.2), 8192) // 1024) * 1024,
+        max_total_entries=-(-max(int(stats.max_total * 1.2), 8192)
+                            // 1024) * 1024,
         max_tiles_per_gaussian=dup_cap,
-        heavy_rows_cap=(None if args.no_heavy else
-                        autosize.auto_heavy_cap(mx_heavy, N, dup_cap)),
-        segsum_grad_reduce=not args.no_segsum)
+        segsum_grad_reduce=not args.no_segsum, **split)
     print(f"# n={N} cap={settings.max_total_entries} dup={dup_cap} "
-          f"heavy={settings.heavy_rows_cap}", flush=True)
+          f"light={settings.light_dup_width} "
+          f"heavy={settings.heavy_rows_cap} hist={stats.dup_hist}",
+          flush=True)
 
     bg = jnp.zeros(3)
     gt = jnp.zeros((3, H, W))
@@ -89,7 +92,7 @@ def main(argv=None):
                                                 activated_scaling)
         proj = transforms.projection_matrix_dyn(0.01, 100.0, fov, fov).T
         shs = jnp.concatenate([params.features_dc, params.features_rest], 1)
-        return prep_mod.preprocess(
+        return preprocess_fn(
             xyz_cam, activated_opacity(params), settings,
             viewmatrix=jnp.eye(4), projmatrix=proj,
             campos=jnp.zeros(3), shs=shs, colors_precomp=None,

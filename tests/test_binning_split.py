@@ -159,3 +159,26 @@ def test_auto_heavy_cap_gated_by_scale():
     assert cap == -(-int(50_000 * 1.5) // 1024) * 1024
     # legacy call (trainer regrow) stays ungated
     assert autosize.auto_heavy_cap(50_000) == -(-75_000 // 1024) * 1024
+
+
+def test_auto_split_table_picks_min_domain():
+    """auto_split_table minimizes n*L + heavy_cap(L)*(D-L) over the probed
+    histogram (round-4: the key sort scales with this domain)."""
+    from das3r_tpu.models import autosize
+    from das3r_tpu.ops.splat.rasterize import DUP_HIST_WIDTHS
+    n, d_cap = 1_500_000, 32
+    # heavy counts: tons of rows past widths <= 6, few past width 8
+    hist = tuple(1_000_000 if w <= 6 else (50_000 if w <= 8 else 1_000)
+                 for w in DUP_HIST_WIDTHS)
+    st = autosize.ProbeStats(5_000_000, 2048, 40, 1_000_000, hist)
+    out = autosize.auto_split_table(st, n, d_cap)
+    # widths > 8 add n per step but only drop ~24k heavy slots -> 8 wins
+    assert out["light_dup_width"] == 8
+    assert out["heavy_rows_cap"] == -(-int(50_000 * 1.5) // 1024) * 1024
+    # the chosen domain beats both the full table and the old fixed L=4
+    dom = n * 8 + out["heavy_rows_cap"] * (d_cap - 8)
+    old4 = n * 4 + (-(-int(1_000_000 * 1.5) // 1024) * 1024) * (d_cap - 4)
+    assert dom < n * d_cap and dom < old4
+    # below the break-even: no split
+    assert autosize.auto_split_table(st, 100_000, 32) == {
+        "heavy_rows_cap": None}
