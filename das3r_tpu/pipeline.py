@@ -73,7 +73,7 @@ def run(image_dir: str, work_dir: str, cfg: PipelineConfig,
     opt_cfg = OptimizationConfig(iterations=cfg.iterations)
     result = trainer.train_scene(
         bundle, opt_cfg, model_path=model_path,
-        saving_iterations={cfg.iterations}, progress=verbose)
+        saving_iterations={cfg.iterations}, progress=verbose, warn=verbose)
 
     out = {"scene_dir": scene_dir, "model_path": model_path,
            "final_loss": result.last_loss,
