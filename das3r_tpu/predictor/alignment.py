@@ -385,11 +385,16 @@ def _conf_weight(conf, mode):
 
 
 def make_align_loss(edge: EdgeData, dyn_masks, flows, cfg: AlignerConfig,
-                    n_frames: int, height: int, width: int):
+                    n_frames: int, height: int, width: int,
+                    init_depth=None):
     """Build the jittable loss(params, it) closure.
 
     dyn_masks: [F, H, W] bool (binary dynamic pixels, from dyna_avg > thre);
-    flows: None, or (flow_ij [E,2,H,W], flow_ji, valid_i [E,1,H,W], valid_j).
+    flows: None, or (flow_ij [E,2,H,W], flow_ji, valid_i [E,1,H,W], valid_j);
+    init_depth: [F, H, W] init-time depth for the scale-invariant depth
+    prior (reference optimizer.py:581-587, active when
+    ``cfg.depth_regularize_weight > 0``) — dynamic pixels are weighted 2x
+    via the mask-as-pixel-weight convention of goem_opt.py:15-36.
     """
     F, H, W = n_frames, height, width
     E = edge.ei.shape[0]
@@ -481,6 +486,13 @@ def make_align_loss(edge: EdgeData, dyn_masks, flows, cfg: AlignerConfig,
             fl = jnp.where(active & ~over_thre, fl, 0.0)
             loss = loss + cfg.flow_loss_weight * fl
 
+        if cfg.depth_regularize_weight > 0 and init_depth is not None:
+            depth = jnp.exp(params.depth_log)[:, None]      # [F, 1, H, W]
+            prior = warping.depth_regularization_si_weighted(
+                depth, init_depth[:, None],
+                pixel_wise_weight=dyn_masks[:, None].astype(jnp.float32))
+            loss = loss + cfg.depth_regularize_weight * prior
+
         return loss
 
     return loss_fn
@@ -488,7 +500,7 @@ def make_align_loss(edge: EdgeData, dyn_masks, flows, cfg: AlignerConfig,
 
 def optimize(params: AlignParams, edge: EdgeData, dyn_masks,
              cfg: AlignerConfig, n_frames: int, height: int, width: int,
-             flows=None, callback=None):
+             flows=None, callback=None, init_depth=None):
     """Run the Adam(0.9, 0.9) alignment loop (base_opt
     global_alignment_loop :510-580). Returns (params, final_loss).
 
@@ -500,8 +512,12 @@ def optimize(params: AlignParams, edge: EdgeData, dyn_masks,
     ``callback(it, loss)`` consequently fires once per chunk (with that
     chunk's final iteration index and loss), not once per iteration.
     """
+    if cfg.depth_regularize_weight > 0 and init_depth is None:
+        # the prior anchors to the depth AT ENTRY (the reference snapshots
+        # init_depthmaps before the loop, optimizer.py:476-482)
+        init_depth = jnp.exp(params.depth_log)
     loss_fn = make_align_loss(edge, dyn_masks, flows, cfg, n_frames,
-                              height, width)
+                              height, width, init_depth=init_depth)
     state = optim_mod.adam_init(params)
 
     pp_lr_scale = 1.0 if cfg.optimize_pp else 0.0

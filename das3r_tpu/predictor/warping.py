@@ -111,11 +111,26 @@ def smooth_l1_flow_loss(estimate, gt, mask, beta: float = 1.0,
 
 
 def depth_regularization_si_weighted(depth_pred, depth_init,
+                                     pixel_wise_weight=None,
+                                     pixel_wise_weight_scale: float = 1.0,
+                                     pixel_wise_weight_bias: float = 1.0,
                                      eps: float = 1e-6):
-    """Scale-invariant log-depth prior (goem_opt.py:15-36, no pixel
-    weights). depth_* : [B, 1, H, W]."""
+    """Scale-invariant log-depth prior (goem_opt.py:15-36).
+
+    depth_* : [B, 1, H, W]. ``pixel_wise_weight`` (same shape, optional)
+    reweights pixels as ``weight * scale + bias`` — the reference's
+    optimizer passes the binary dynamic mask here (optimizer.py:583-585),
+    so dynamic pixels get weight 2 and static pixels weight 1: the depth
+    prior anchors moving regions (whose pairwise/flow losses are masked
+    out) hardest to the init depth."""
     dp = jnp.log(jnp.maximum(depth_pred, eps))
     di = jnp.log(jnp.maximum(depth_init, eps))
     B, _, H, W = depth_pred.shape
     scale = jnp.sum(di - dp, axis=(1, 2, 3), keepdims=True) / (H * W)
-    return jnp.mean((dp + scale - di) ** 2)
+    if pixel_wise_weight is None:
+        w = 1.0
+    else:
+        w = (pixel_wise_weight * pixel_wise_weight_scale
+             + pixel_wise_weight_bias)
+    si = jnp.sum(w * (dp + scale - di) ** 2, axis=(1, 2, 3)) / (H * W)
+    return jnp.mean(si)

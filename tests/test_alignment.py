@@ -129,6 +129,64 @@ class TestFullAlignment:
                                cfg2)
         np.testing.assert_allclose(out2.focals, gt_focal, rtol=1e-6)
 
+    def test_depth_prior_term_live_and_matches_reference_formula(self):
+        """depth_regularize_weight wires the 4th reference loss term
+        (optimizer.py:581-587): the knob must change the loss, vanish at
+        the init depth, and equal the goem_opt.py:15-36 SI formula with
+        the dynamic mask as pixel weight (weight = mask + 1)."""
+        import jax.numpy as jnp
+        (edges, pred_i, pred_j, conf, mask, gt_poses, gt_depths, gt_focal
+         ) = make_multiview_scene()
+        F, H, W = gt_depths.shape
+        E = len(edges)
+        edge_data = alignment.EdgeData(
+            ei=jnp.asarray([i for i, _ in edges], jnp.int32),
+            ej=jnp.asarray([j for _, j in edges], jnp.int32),
+            pred_i=jnp.asarray(pred_i), pred_j=jnp.asarray(pred_j),
+            conf_i=jnp.asarray(conf), conf_j=jnp.asarray(conf),
+            mask_i=jnp.asarray(mask))
+        rng = np.random.default_rng(0)
+        dyn = jnp.asarray(rng.uniform(size=(F, H, W)) < 0.3)
+        params = alignment.AlignParams(
+            pw_poses=jnp.zeros((E, 8)).at[:, 3].set(1.0),
+            im_poses=jnp.zeros((F, 7)).at[:, 3].set(1.0),
+            depth_log=jnp.asarray(np.log(gt_depths)),
+            focal_log=jnp.asarray([20.0 * np.log(gt_focal)], jnp.float32),
+            pp_off=jnp.zeros((F, 2), jnp.float32))
+        # non-uniform offset (a GLOBAL scale would be removed exactly by
+        # the scale-invariant alignment and leave the prior at 0)
+        init_depth = jnp.asarray(
+            gt_depths * (1.0 + 0.3 * rng.uniform(size=gt_depths.shape))
+        ).astype(jnp.float32)
+
+        def loss_at(weight, init):
+            cfg = alignment.AlignerConfig(
+                niter=10, flow_loss_weight=0.0,
+                temporal_smoothing_weight=0.0,
+                depth_regularize_weight=weight)
+            fn = alignment.make_align_loss(edge_data, dyn, None, cfg,
+                                           F, H, W, init_depth=init)
+            return float(fn(params, 0))
+
+        base = loss_at(0.0, init_depth)
+        on = loss_at(0.5, init_depth)
+        assert on > base  # knob is live
+
+        # at the init depth the SI prior is exactly 0
+        same = loss_at(0.5, jnp.exp(params.depth_log))
+        assert same == pytest.approx(base, rel=1e-6)
+
+        # numpy reimplementation of the reference formula
+        dp = np.log(gt_depths)
+        di = np.log(np.asarray(init_depth))
+        s = np.sum(di - dp, axis=(1, 2)) / (H * W)
+        w_pix = np.asarray(dyn).astype(np.float32) + 1.0
+        si = (w_pix * (dp + s[:, None, None] - di) ** 2).sum((1, 2)) \
+            / (H * W)
+        # rel 2e-3: on/base are ~10.1 in fp32, so the subtraction carries
+        # ~1e-6 absolute cancellation error against a ~4e-3 term
+        assert on - base == pytest.approx(0.5 * si.mean(), rel=2e-3)
+
     def test_dynamic_aggregation(self):
         (edges, pred_i, pred_j, conf, mask, *_ ) = make_multiview_scene()
         mask = mask.copy()
