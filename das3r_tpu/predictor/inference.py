@@ -118,6 +118,62 @@ def run_pairs(
                               for k, v in out.items()})
 
 
+def find_opt_scaling(gt_pts1, gt_pts2, pr_pts1, pr_pts2=None,
+                     fit_mode: str = "weiszfeld_stop_grad",
+                     valid1=None, valid2=None):
+    """Per-batch optimal scale s minimizing ||pr - s * gt|| over valid
+    pixels (reference dust3r/inference.py:208-252) — used by the
+    scale/shift-invariant test criteria and training visualization.
+
+    gt/pr: [B, H, W, 3]; validX: [B, H, W] bool or None. TPU-first detail:
+    the reference routes invalid pixels through NaNs + nan-reductions; we
+    carry an explicit weight mask instead (identical arithmetic, no NaN
+    traffic, jit-safe). Modes: ``avg`` (closed-form L2), ``median``,
+    ``weiszfeld`` (10 IRLS iterations); ``*_stop_grad`` detaches."""
+    pts_g, pts_p, w = [gt_pts1], [pr_pts1], [
+        jnp.ones(gt_pts1.shape[:3]) if valid1 is None
+        else valid1.astype(jnp.float32)]
+    if gt_pts2 is not None:
+        pts_g.append(gt_pts2)
+        pts_p.append(pr_pts2)
+        w.append(jnp.ones(gt_pts2.shape[:3]) if valid2 is None
+                 else valid2.astype(jnp.float32))
+    B = gt_pts1.shape[0]
+    all_gt = jnp.concatenate([p.reshape(B, -1, 3) for p in pts_g], 1)
+    all_pr = jnp.concatenate([p.reshape(B, -1, 3) for p in pts_p], 1)
+    valid = jnp.concatenate([m.reshape(B, -1) for m in w], 1)
+
+    dot_gt_pr = (all_pr * all_gt).sum(-1)
+    dot_gt_gt = (all_gt * all_gt).sum(-1)
+
+    def wmean(x, wt):
+        return (x * wt).sum(1) / jnp.maximum(wt.sum(1), 1e-8)
+
+    if fit_mode.startswith("avg"):
+        scaling = wmean(dot_gt_pr, valid) / wmean(dot_gt_gt, valid)
+    elif fit_mode.startswith("median"):
+        r = dot_gt_pr / jnp.maximum(dot_gt_gt, 1e-12)
+        # masked median: invalid slots to +inf, take the k-th smallest
+        # (torch.nanmedian takes the LOWER middle element on even counts)
+        n_valid = valid.sum(1).astype(jnp.int32)
+        r_s = jnp.sort(jnp.where(valid > 0, r, jnp.inf), axis=1)
+        lo = jnp.maximum((n_valid - 1) // 2, 0)
+        scaling = jnp.take_along_axis(r_s, lo[:, None], 1)[:, 0]
+    elif fit_mode.startswith("weiszfeld"):
+        scaling = wmean(dot_gt_pr, valid) / wmean(dot_gt_gt, valid)
+        for _ in range(10):
+            dis = jnp.linalg.norm(
+                all_pr - scaling[:, None, None] * all_gt, axis=-1)
+            wt = valid / jnp.maximum(dis, 1e-8)
+            scaling = wmean(dot_gt_pr, wt) / wmean(dot_gt_gt, wt)
+    else:
+        raise ValueError(f"bad {fit_mode=}")
+
+    if fit_mode.endswith("stop_grad"):
+        scaling = jax.lax.stop_gradient(scaling)
+    return jnp.maximum(scaling, 1e-3)
+
+
 def apply_manyar(model: AsymmetricCroCo3D, params, img1, img2,
                  true_shape1: np.ndarray, true_shape2: np.ndarray,
                  **apply_kw):
