@@ -20,30 +20,80 @@ from das3r_tpu.models.croco.dust3r import AsymmetricCroCo3D, Dust3rConfig
 from das3r_tpu.predictor import alignment, inference, pairs
 
 
+VIDEO_EXTS = {".mp4", ".avi", ".mov"}
+
+
+def _fit_frame(img: Image.Image, size: int) -> np.ndarray:
+    """Resize long side -> ``size``, center-crop to /16 multiples."""
+    w, h = img.size
+    scale = size / max(w, h)
+    nw, nh = round(w * scale), round(h * scale)
+    img = img.resize((nw, nh), Image.LANCZOS)
+    cw, ch = (nw // 16) * 16, (nh // 16) * 16
+    left, top = (nw - cw) // 2, (nh - ch) // 2
+    img = img.crop((left, top, left + cw, top + ch))
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _decode_video(path: str, stride: int, max_frames: int | None,
+                  fps: float):
+    """Sample frames from a video file (reference dust3r/utils/image.py
+    :213-252 semantics: frame interval round(video_fps / fps) when
+    ``fps > 0``, else every ``stride``-th frame; first ``max_frames``)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path}")
+    video_fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if fps > 0 and video_fps > 0:
+        interval = max(1, int(round(video_fps / fps)))
+    else:
+        interval = max(1, stride)
+    idxs = list(range(0, total, interval))
+    if max_frames is not None:
+        idxs = idxs[:max_frames]
+    frames, names = [], []
+    want = set(idxs)
+    last = max(idxs) if idxs else -1
+    k = 0
+    while k <= last:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if k in want:
+            frames.append(Image.fromarray(
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
+            names.append(f"frame_{k:04d}.png")
+        k += 1
+    cap.release()
+    assert frames, f"no frames decoded from {path}"
+    return frames, names
+
+
 def load_frames(image_dir: str, size: int = 512, stride: int = 1,
-                max_frames: int | None = None):
+                max_frames: int | None = None, fps: float = 0.0):
     """Load, resize (long side -> ``size``) and crop to /16 multiples
     (reference dust3r/utils/image.py:146-275). Returns [F, 3, H, W] in
-    [0, 1]."""
+    [0, 1].
+
+    ``image_dir`` may be a directory of images OR a video file
+    (.mp4/.avi/.mov — decoded with cv2 like the reference's load_images
+    video branch, image.py:213-252). For videos, ``fps > 0`` resamples to
+    that frame rate; otherwise every ``stride``-th frame is kept."""
+    p = Path(image_dir)
+    if p.is_file() and p.suffix.lower() in VIDEO_EXTS:
+        imgs, names = _decode_video(str(p), stride, max_frames, fps)
+        out = [_fit_frame(im, size) for im in imgs]
+        return np.stack(out).transpose(0, 3, 1, 2), names
     exts = {".png", ".jpg", ".jpeg"}
-    files = sorted(p for p in Path(image_dir).iterdir()
-                   if p.suffix.lower() in exts)
+    files = sorted(q for q in p.iterdir() if q.suffix.lower() in exts)
     files = files[::stride]
     if max_frames is not None:
         files = files[:max_frames]
     assert files, f"no images under {image_dir}"
-    out = []
-    for p in files:
-        img = Image.open(p).convert("RGB")
-        w, h = img.size
-        scale = size / max(w, h)
-        nw, nh = round(w * scale), round(h * scale)
-        img = img.resize((nw, nh), Image.LANCZOS)
-        cw, ch = (nw // 16) * 16, (nh // 16) * 16
-        left, top = (nw - cw) // 2, (nh - ch) // 2
-        img = img.crop((left, top, left + cw, top + ch))
-        out.append(np.asarray(img, np.float32) / 255.0)
-    return np.stack(out).transpose(0, 3, 1, 2), [p.name for p in files]
+    out = [_fit_frame(Image.open(q).convert("RGB"), size) for q in files]
+    return np.stack(out).transpose(0, 3, 1, 2), [q.name for q in files]
 
 
 def save_stage1_outputs(out_dir: str, images01: np.ndarray,

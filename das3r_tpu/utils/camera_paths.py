@@ -93,6 +93,132 @@ def ellipse_path(poses: np.ndarray, n_frames: int = 120,
     return np.stack([look_at(p, centroid) for p in pts])
 
 
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+def _viewmatrix_gl(lookdir, up, position) -> np.ndarray:
+    """mip-NeRF lookat frame (pose_utils.viewmatrix :221-227): columns
+    (right, up', lookdir) — OpenGL-ish axes (+z away from the target)."""
+    vec2 = _normalize(lookdir)
+    vec0 = _normalize(np.cross(up, vec2))
+    vec1 = _normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, position], axis=1)
+
+
+def _cv_to_gl(c2w: np.ndarray) -> np.ndarray:
+    g = c2w.copy()
+    g[:, :3, 1:3] *= -1
+    return g
+
+
+def _gl_to_cv(g: np.ndarray) -> np.ndarray:
+    return _cv_to_gl(g)          # the flip is an involution
+
+
+def _poses_avg_gl(poses: np.ndarray) -> np.ndarray:
+    position = poses[:, :3, 3].mean(0)
+    z_axis = poses[:, :3, 2].mean(0)
+    up = poses[:, :3, 1].mean(0)
+    return _viewmatrix_gl(z_axis, up, position)
+
+
+def spiral_path(poses: np.ndarray, bounds=(1.0, 100.0), n_frames: int = 180,
+                n_rots: int = 2, zrate: float = 0.5) -> np.ndarray:
+    """Forward-facing spiral around the average camera
+    (pose_utils.generate_spiral_path :369-414, LLFF recipe).
+
+    ``poses``: [F, 4, 4] OpenCV c2w (our convention — the reference takes
+    the COLMAP poses_bounds blob; the internal math is identical after the
+    axis flip). ``bounds``: scene (near, far) depth bounds, per-frame
+    [F, 2] or one pair. Returns [n_frames, 4, 4] OpenCV c2w."""
+    g = _cv_to_gl(np.asarray(poses, np.float64))
+    b = np.asarray(bounds, np.float64).reshape(-1, 2)
+
+    cam2world = _poses_avg_gl(g)
+    up = g[:, :3, 1].mean(0)
+
+    close_depth, inf_depth = b.min() * 0.9, b.max() * 5.0
+    dt = 0.75
+    focal = 1.0 / ((1 - dt) / close_depth + dt / inf_depth)
+
+    # radii from the 90th percentile of positions about the average camera
+    positions = g[:, :3, 3] - cam2world[:3, 3]
+    radii = np.percentile(np.abs(positions), 90, 0)
+    radii = np.concatenate([radii, [1.0]])
+
+    out = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames,
+                             endpoint=False):
+        t = radii * [np.cos(theta), -np.sin(theta),
+                     -np.sin(theta * zrate), 1.0]
+        position = np.concatenate([cam2world[:3, :4] @ t, [1.0]])[:3]
+        lookat = cam2world[:3, :4] @ np.asarray([0, 0, -focal, 1.0])
+        z_axis = position - lookat
+        m = np.eye(4)
+        m[:3] = _viewmatrix_gl(z_axis, up, position)
+        out.append(m)
+    return _gl_to_cv(np.stack(out)).astype(np.float32)
+
+
+def bspline_path(poses: np.ndarray, n_interp: int = 10,
+                 spline_degree: int = 5, smoothness: float = 0.03,
+                 rot_weight: float = 0.1, const_speed: bool = False,
+                 n_interp_as_total: bool = False) -> np.ndarray:
+    """Smooth B-spline through keyframe cameras
+    (pose_utils.generate_interpolated_path :419-569, core options).
+
+    Each pose becomes a (position, lookat-point, up-point) triple spaced
+    ``rot_weight`` apart, the 9-D point track is fit with a smoothing
+    B-spline (scipy splprep, degree ``spline_degree``, smoothing
+    ``smoothness``), and poses are rebuilt from the interpolated triples.
+    ``poses``: [F, 4, 4] OpenCV c2w. Returns [n_interp * (F - 1), 4, 4]
+    (or [n_interp, 4, 4] with ``n_interp_as_total``)."""
+    import scipy.interpolate
+
+    g = _cv_to_gl(np.asarray(poses, np.float64))
+
+    def poses_to_points(p, dist):
+        pos = p[:, :3, 3]
+        lookat = p[:, :3, 3] - dist * p[:, :3, 2]
+        up = p[:, :3, 3] + dist * p[:, :3, 1]
+        return np.stack([pos, lookat, up], 1)           # [F, 3, 3]
+
+    def points_to_poses(points):
+        out = []
+        for pos, lookat_point, up_point in points:
+            m = np.eye(4)
+            m[:3] = _viewmatrix_gl(pos - lookat_point, up_point - pos, pos)
+            out.append(m)
+        return np.stack(out)
+
+    def interp(points, u, k, s):
+        sh = points.shape
+        pts = points.reshape(sh[0], -1)
+        k = min(k, sh[0] - 1)
+        tck, u_keyframes = scipy.interpolate.splprep(pts.T, k=k, s=s)
+        new_points = np.array(scipy.interpolate.splev(u, tck))
+        return new_points.T.reshape(len(u), sh[1], sh[2]), u_keyframes
+
+    points = poses_to_points(g, dist=rot_weight)
+    if n_interp_as_total:
+        n_frames = n_interp + 1        # final pose is discarded below
+    else:
+        n_frames = n_interp * (points.shape[0] - 1)
+    u = np.linspace(0, 1, n_frames, endpoint=True)
+    new_points, _ = interp(points, u, spline_degree, smoothness)
+    out = points_to_poses(new_points)
+    if const_speed:
+        pos = out[:, :3, 3]
+        lengths = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+        from das3r_tpu.utils import stepfun
+        u = stepfun.sample_np(None, u, np.log(np.maximum(lengths, 1e-12)),
+                              n_frames + 1)
+        new_points, _ = interp(points, u, spline_degree, smoothness)
+        out = points_to_poses(new_points)
+    return _gl_to_cv(out[:-1]).astype(np.float32)
+
+
 class OrbitCamera:
     """Interactive orbit camera (utils/gui_utils.py:65-151): yaw/pitch
     orbit, pan, dolly; exposes the c2w pose and intrinsics."""

@@ -165,3 +165,136 @@ class TestViz:
         assert os.path.exists(str(tmp_path / "d" / "_depth_maps.gif"))
         cm = viz.colormap_jet(depths[0])
         assert cm.shape == (16, 16, 3) and cm.dtype == np.uint8
+
+
+class TestVideoInput:
+    def test_load_frames_from_video_file(self, tmp_path):
+        """runner.load_frames accepts a video path (reference load_images
+        video branch, dust3r/utils/image.py:213-252): stride sampling,
+        max_frames cap, and the same resize/crop as the image-dir path."""
+        cv2 = pytest.importorskip("cv2")
+        from das3r_tpu.predictor import runner
+
+        path = str(tmp_path / "clip.avi")
+        H, W, F = 48, 64, 10
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                             10.0, (W, H))
+        assert vw.isOpened()
+        for k in range(F):
+            frame = np.full((H, W, 3), 20 * k + 10, np.uint8)
+            vw.write(frame)
+        vw.release()
+
+        imgs, names = runner.load_frames(path, size=64, stride=2)
+        assert imgs.shape == (5, 3, 48, 64)
+        assert names[0] == "frame_0000.png" and names[1] == "frame_0002.png"
+        # frame k has constant intensity (20k+10)/255 (MJPG is lossy; 2/255)
+        means = imgs.mean(axis=(1, 2, 3))
+        np.testing.assert_allclose(
+            means, (20 * np.arange(0, 10, 2) + 10) / 255.0, atol=0.02)
+        assert np.all(np.diff(means) > 0)  # order preserved
+
+        # max_frames + fps resampling (10 fps video at fps=5 -> stride 2)
+        imgs2, _ = runner.load_frames(path, size=64, max_frames=3, fps=5.0)
+        assert imgs2.shape[0] == 3
+        np.testing.assert_allclose(imgs2, imgs[:3], atol=1e-6)
+
+
+class TestSpiralBsplinePaths:
+    def _ring_poses(self, f=8, r=3.0):
+        out = []
+        for k in range(f):
+            th = 2 * np.pi * k / f * 0.25
+            pos = np.asarray([r * np.sin(th), 0.1 * k, -r * np.cos(th)])
+            out.append(cp.look_at(pos, np.zeros(3)))
+        return np.stack(out).astype(np.float64)
+
+    def test_spiral_path_shape_and_orthonormal(self):
+        poses = self._ring_poses()
+        path = cp.spiral_path(poses, bounds=(2.0, 10.0), n_frames=36,
+                              n_rots=2)
+        assert path.shape == (36, 4, 4)
+        R = path[:, :3, :3]
+        eye = np.einsum("fij,fkj->fik", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (36, 1, 1)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+        # spiral stays within the camera cloud's scale of the average cam
+        center = poses[:, :3, 3].mean(0)
+        d = np.linalg.norm(path[:, :3, 3] - center, axis=1)
+        assert d.max() < 2 * np.linalg.norm(
+            poses[:, :3, 3] - center, axis=1).max() + 1e-6
+        # ... and actually orbits (nonzero radius)
+        assert d.max() > 1e-3
+
+    def test_bspline_path_follows_keyframes(self):
+        poses = self._ring_poses()
+        path = cp.bspline_path(poses, n_interp=5, smoothness=0.0)
+        # the reference discards the final sample (pose_utils.py:568
+        # `return poses[:-1]`), so n_interp * (F - 1) - 1 come back
+        assert path.shape == (5 * 7 - 1, 4, 4)
+        # exact interpolation (s=0): the path passes near every keyframe
+        for p in poses[1:-1]:
+            dmin = np.linalg.norm(
+                path[:, :3, 3] - p[:3, 3], axis=1).min()
+            assert dmin < 0.2
+        R = path[:, :3, :3]
+        eye = np.einsum("fij,fkj->fik", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(path), 1, 1)),
+                                   atol=1e-5)
+
+    def test_bspline_total_count_and_const_speed(self):
+        poses = self._ring_poses()
+        path = cp.bspline_path(poses, n_interp=24, n_interp_as_total=True,
+                               const_speed=True)
+        # const_speed resamples n_frames + 1 = n_interp + 2 points and
+        # drops the last (reference :564-568) -> n_interp + 1
+        assert path.shape == (25, 4, 4)
+        seg = np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1)
+        assert seg.std() / seg.mean() < 0.5  # roughly constant speed
+
+
+class TestFlowVizAndOverlay:
+    def test_flow_to_image_matches_reference(self):
+        """Middlebury colorization parity vs the reference flow_vis
+        oracle (dust3r/utils/flow_vis.py:41-132)."""
+        from tests.ref_adapters import load_ref_module
+        ref = load_ref_module(
+            "dynamic_predictor/dust3r/utils/flow_vis.py", "_ref_flow_vis")
+        if ref is None:
+            pytest.skip("reference flow_vis not importable")
+        from das3r_tpu.eval import viz
+
+        rng = np.random.default_rng(0)
+        flow = rng.normal(scale=3.0, size=(17, 23, 2)).astype(np.float32)
+        flow[2, 3] = 0.0                       # zero-flow pixel
+        flow[5, 5, 0] = 1e8                    # unknown flow
+        ours = viz.flow_to_image(flow.copy())
+        theirs = ref.flow_to_image(flow.copy())
+        # exclude pixels at the rad == 1 saturation boundary: the max-norm
+        # pixel lands exactly on it and f32-vs-f64 rounding flips the 0.75
+        # branch (CLAUDE.md threshold-crossing rule); elsewhere uint8
+        # rounding may differ by 1 at color-wheel arc boundaries
+        rad = np.linalg.norm(np.where(np.abs(flow) > 1e7, 0, flow), axis=-1)
+        interior = np.abs(rad / rad.max() - 1.0) > 1e-4
+        diff = np.abs(ours.astype(int) - theirs.astype(int)).max(-1)
+        assert diff[interior].max() <= 1
+        assert (ours[5, 5] == 0).all() and (ours[2, 3] == 0).all()
+
+    def test_mask_overlay_gif(self, tmp_path):
+        from das3r_tpu.eval import viz
+        from PIL import Image
+        for k in range(3):
+            Image.fromarray(
+                np.full((16, 20, 3), 100, np.uint8)).save(
+                tmp_path / f"frame_{k:04d}.png")
+            m = np.zeros((16, 20), np.uint8)
+            m[4:9, 5 + k] = 255
+            Image.fromarray(m).save(tmp_path / f"dynamic_mask_{k:04d}.png")
+        out = viz.save_mask_overlay_gif(str(tmp_path))
+        assert os.path.exists(out)
+        g = Image.open(out)
+        assert getattr(g, "n_frames", 1) == 3
+        # masked pixels are tinted, unmasked untouched
+        rgb = np.asarray(g.convert("RGB"))
+        assert not np.array_equal(rgb[4, 5], rgb[0, 0])
