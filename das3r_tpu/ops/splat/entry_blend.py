@@ -143,14 +143,32 @@ PACK = 8   # tile-row packing: rows 0-2 = premultiplied color, row 3 =
 
 
 def _forward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, out_ref, tin_ref,
-                    cacc, tacc, stage, cur, sems,
+                    cacc, tacc, trun, stage, cur, sems,
                     *, settings: RasterSettings, n_blocks: int,
                     n_tiles_out: int):
     """``chunk_tile`` carries tile indices LOCAL to this kernel's output
     (``n_tiles_out`` rows; void chunks = ``n_tiles_out``); ``tile0`` is the
     global index of local tile 0 — pixel coordinates come from the global
     tile grid, so a tile-sharded caller passes its shard's range start.
-    The unsharded path uses tile0 = 0, n_tiles_out = settings.n_tiles."""
+    The unsharded path uses tile0 = 0, n_tiles_out = settings.n_tiles.
+
+    Two transmittance accumulators per pixel (CUDA forward semantics,
+    forward.cu renderCUDA: ``if (test_T < eps) { done = true; continue; }``):
+
+      * ``trun`` — the RUNNING product over every alpha-tested entry,
+        committed even past the eps floor. This is the sticky ``done``
+        bit in product form: once a pixel crosses eps it stays below
+        forever, so the whole-chunk skip gate ``max(trun) >= eps`` is
+        exact AND reachable (the r4 advisor proved the old single-
+        accumulator gate unsatisfiable — T was only committed when it
+        stayed >= eps, so no saved value could ever sit below the floor).
+      * ``tacc`` — the CUDA-visible T: last value that passed the eps
+        test (what the crossing entry must NOT commit); flushed as the
+        tile's ``tfinal`` output row.
+
+    Pre-crossing the two are equal (every tested entry commits), so
+    weights computed from ``trun`` match CUDA exactly; post-crossing no
+    entry contributes and only ``tacc`` is observable."""
     s = settings
     P = s.tile * s.tile
     g = pl.program_id(0)
@@ -185,10 +203,15 @@ def _forward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, out_ref, tin_ref,
             cur[0] = tid
             cacc[...] = jnp.zeros((P, 3), jnp.float32)
             tacc[...] = jnp.ones((P, 1), jnp.float32)
+            trun[...] = jnp.ones((P, 1), jnp.float32)
 
-        tin_ref[i] = tacc[...]
-        T_in = tacc[...]
+        tin_ref[i] = trun[...]
+        T_in = trun[...]
 
+        # Saturation skip: every pixel's running product sits below the
+        # transmittance floor -> no entry of this chunk can contribute
+        # (cum_before <= T_in < eps for all of them) and the running
+        # product can only shrink further, so skipping is exact.
         @pl.when((tid < n_tiles_out)
                  & (jnp.max(T_in) >= s.transmittance_eps))
         def _(tid=tid, i=i, T_in=T_in):
@@ -202,8 +225,9 @@ def _forward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, out_ref, tin_ref,
                 for ch in range(3)
             ]
             cacc[...] += jnp.concatenate(adds, axis=1)
-            t_cand = jnp.where(contribute, t_after, T_in)
+            t_cand = jnp.where(contribute, t_after, tacc[...])
             tacc[...] = jnp.min(t_cand, axis=1, keepdims=True)
+            trun[...] = t_after[:, CHUNK - 1:CHUNK]
 
     @pl.when((g == n_blocks - 1) & (cur[0] < n_tiles_out))
     def _():
@@ -251,14 +275,17 @@ def _backward_kernel(chunk_tile_ref, tile0_ref, attrs_ref, tin_ref, cot_ref,
         def _(tid=tid):
             cur[0] = tid
 
-        # Saturation gate (mirrors the forward kernel): when every pixel
-        # entered this chunk below the transmittance floor, ``contribute``
-        # is false everywhere -> w = e = d_alpha = 0, so every gradient row
-        # is zero (the block output is pre-zeroed) and the suffix
-        # accumulator is unchanged — skipping the chunk is EXACT. In dense
-        # scenes most of a tile's stream sits past saturation, making this
-        # the difference between E-scale and visible-entry-scale backward
-        # compute (measured at 1.5M/288x512: bwd kernel 378 -> 173 ms).
+        # Saturation gate (mirrors the forward kernel): ``tin`` carries
+        # the STICKY running transmittance (committed past the eps floor
+        # — see the forward docstring), so once every pixel of the tile
+        # has crossed, max(T_in) < eps holds for all remaining chunks.
+        # In that state ``contribute`` is false everywhere -> w = e =
+        # d_alpha = 0, every gradient row is zero (the block output is
+        # pre-zeroed) and the suffix accumulator is unchanged — skipping
+        # the chunk is EXACT. Dense scenes saturate most of their stream,
+        # making this E-scale vs visible-entry-scale backward compute
+        # (tests/test_entry_stream.py asserts the skip state actually
+        # occurs and that gradients survive it).
         T_in = tin_ref[i]
 
         @pl.when((tid < n_tiles_out)
@@ -325,7 +352,8 @@ def _forward_impl(attrs, chunk_tile, tile0, settings: RasterSettings,
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 3), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),     # tacc (CUDA-visible T)
+            pltpu.VMEM((P, 1), jnp.float32),     # trun (sticky running T)
             pltpu.VMEM((PACK, P), jnp.float32),  # flush staging (P-minor)
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),

@@ -10,9 +10,11 @@ hard-part #1). Design notes:
   * The sequential CUDA loop is replaced by a log-depth Hillis-Steele prefix
     product: ``t_after`` (transmittance after each Gaussian) is monotone
     non-increasing along the depth-sorted lane axis, so the early-termination
-    rule collapses to ``contribute = valid & ~done & (t_after >= eps)`` —
-    no order-dependent scan is needed (the Gaussian that would push T below
-    eps contributes nothing, exactly like the CUDA ``test_T < 1e-4`` break).
+    rule collapses to ``contribute = valid & (t_after >= eps)`` with NO
+    order-dependent scan — PROVIDED the carried transmittance is the sticky
+    running product committed past the eps floor (see ``_forward_kernel``):
+    the Gaussian that pushes T below eps contributes nothing and retires the
+    pixel permanently, exactly like the CUDA ``test_T < 1e-4`` done bit.
   * Per-tile Gaussian lists come in pre-gathered as [T, 9, K] (one XLA
     gather); the backward kernel emits per-slot gradients [T, 9, K] that the
     caller scatter-adds per Gaussian (segment-sum at HBM bandwidth).
@@ -158,15 +160,25 @@ def _forward_kernel(count_ref, delta_ref, attr_ref, bg_ref, color_ref,
     tin_ref[:, :, :] = jnp.zeros((n_chunks, P, 1), jnp.float32)
 
     def body(c, carry):
-        C, T = carry                                # [P, 3], [P, 1]
-        tin_ref[c, :, :] = T
+        # T_out: the CUDA-visible T (last value that passed the eps test);
+        # T_run: the STICKY running product over every alpha-tested entry,
+        # committed past the floor. Pre-crossing they are equal, so weights
+        # from T_run match CUDA exactly; post-crossing T_run < eps makes
+        # every later contribute test fail ACROSS chunk boundaries too —
+        # the per-pixel `done = true` of the CUDA forward in product form
+        # (the r4 advisor proved a single committed-only accumulator can
+        # never satisfy the early-exit condition, and it also re-admitted
+        # small-alpha entries after a crossing: measured 1.3e-3 image error
+        # vs the f64 oracle on a dense 0.9-opacity scene).
+        C, T_out, T_run = carry                     # [P,3], [P,1], [P,1]
+        tin_ref[c, :, :] = T_run
         _, _, _, _, _, valid, a = _chunk_quantities(
             attr_ref, px, py, c, chunk, delta, count, s)
         one_m = 1.0 - a
         # log-space exclusive prefix product on the MXU: alpha is clipped at
         # 0.99 so log1p(-a) >= log(0.01) is finite; invalid lanes have a=0
         # (log 0-neutral). Replaces the 7-round Hillis-Steele VPU scan.
-        cum_before = T * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))
+        cum_before = T_run * jnp.exp(_mm(jnp.log1p(-a), _tri_lt(chunk)))
         t_after = cum_before * one_m                 # [P, chunk]
         contribute = valid & (t_after >= s.transmittance_eps)
         w = jnp.where(contribute, a * cum_before, 0.0)
@@ -177,24 +189,28 @@ def _forward_kernel(count_ref, delta_ref, attr_ref, bg_ref, color_ref,
             for ch in range(3)
         ]
         C = C + jnp.concatenate(adds, axis=1)
-        t_cand = jnp.where(contribute, t_after, T)
-        T_new = jnp.min(t_cand, axis=1, keepdims=True)
-        return C, T_new
+        t_cand = jnp.where(contribute, t_after, T_out)
+        T_out = jnp.min(t_cand, axis=1, keepdims=True)
+        T_run = t_after[:, chunk - 1:chunk]
+        return C, T_out, T_run
 
     def cond(state):
-        c, (C, T) = state
+        c, (C, T_out, T_run) = state
+        # early exit when EVERY pixel's running product crossed the floor
+        # — genuinely reachable now that T_run commits past eps
         return (c < pl.cdiv(delta + count, chunk)) & (
-            jnp.max(T) >= s.transmittance_eps)
+            jnp.max(T_run) >= s.transmittance_eps)
 
     def wbody(state):
         c, carry = state
         return c + 1, body(c, carry)
 
-    init = (jnp.zeros((P, 3), jnp.float32), jnp.ones((P, 1), jnp.float32))
+    init = (jnp.zeros((P, 3), jnp.float32), jnp.ones((P, 1), jnp.float32),
+            jnp.ones((P, 1), jnp.float32))
     # chunks before delta // chunk contain only foreign slots (masked
     # invalid) — skip them; tin rows for them stay zero, which the backward
     # already treats as unvisited.
-    _, (C, T) = jax.lax.while_loop(cond, wbody, (delta // chunk, init))
+    _, (C, T, _) = jax.lax.while_loop(cond, wbody, (delta // chunk, init))
 
     bg = bg_ref[0, :].reshape(1, 3)
     color_ref[:, :] = C + T * bg

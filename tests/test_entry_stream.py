@@ -124,6 +124,76 @@ class TestEntryStreamBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5 * ref)
 
+    def test_saturation_skip_reachable_and_exact(self):
+        """ADVICE r4: the saturation gate must (a) actually FIRE on a
+        dense high-opacity scene — the sticky running transmittance
+        (entry_blend forward docstring) makes chunks with
+        max(tin) < transmittance_eps occur — and (b) stay image- and
+        gradient-exact vs the oracle and the window path through the
+        skipped chunks."""
+        from das3r_tpu.ops.splat import entry_blend
+        from das3r_tpu.ops.splat.preprocess import (
+            preprocess as run_preprocess)
+
+        rng = np.random.default_rng(17)
+        s = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                           max_per_tile=2048, max_tiles_per_gaussian=64,
+                           max_total_entries=96_000, entry_stream=True)
+        # dense, near-opaque, large-footprint scene: tiles saturate early
+        means, scales, rots, _, colors = make_scene(1200, rng, spread=0.6)
+        ops = rng.uniform(0.9, 0.98, 1200).astype(np.float32)
+        scales = (scales * 3.0).astype(np.float32)
+        bg = np.array([0.3, 0.1, 0.2], np.float32)
+        kw = _kw(s, scales, rots, colors, bg)
+
+        # (a) saturated live chunks exist: reproduce the forward's saved
+        # per-chunk entry transmittance and count skippable chunks
+        view, proj, campos, tfx, tfy = make_camera(s)
+        prep = run_preprocess(
+            jnp.asarray(means), jnp.asarray(ops), s,
+            viewmatrix=jnp.asarray(view), projmatrix=jnp.asarray(proj),
+            campos=jnp.asarray(campos), shs=None,
+            colors_precomp=jnp.asarray(colors), scales=jnp.asarray(scales),
+            rotations=jnp.asarray(rots), cov3d_precomp=None,
+            mean2d_offset=None, tan_fovx=tfx, tan_fovy=tfy)
+        es = jax.jit(functools.partial(binning.bin_entry_stream,
+                                       settings=s))(prep)
+        attr = jnp.concatenate([prep.mean2d, prep.conic, prep.color,
+                                prep.opacity[:, None]], 1)
+        table = jnp.concatenate(
+            [attr[es.order], jnp.zeros((1, attr.shape[1]))])
+        _, _, tin = entry_blend._fwd_impl_full(
+            table, es.rank, es.chunk_tile, jnp.zeros((1,), jnp.int32), s,
+            s.n_tiles)
+        tin = np.asarray(tin)                     # [E_al/128, P, 1]
+        live = np.asarray(es.chunk_tile) < s.n_tiles
+        skippable = (tin.max(axis=(1, 2)) < s.transmittance_eps) & live
+        assert skippable.sum() > 0, \
+            "fixture no longer saturates; the gate is untested"
+
+        # (b) forward exact vs oracle, grads match the window path
+        img, _, _ = _raster(s, means, ops, kw)
+        ref_img, _ = rasterize_reference(
+            means, ops, s, viewmatrix=view, projmatrix=proj, campos=campos,
+            bg=bg, tan_fovx=tfx, tan_fovy=tfy, scales=scales,
+            rotations=rots, colors_precomp=colors)
+        np.testing.assert_allclose(np.asarray(img), ref_img, atol=3e-4)
+
+        def loss(st):
+            def f(m, o):
+                i, _, _ = rasterize(m, o, st, backend="pallas", **kw)
+                w = jnp.cos(jnp.arange(i.size).reshape(i.shape) * 0.01)
+                return jnp.sum(i * w)
+            return jax.jit(jax.grad(f, argnums=(0, 1)))(
+                jnp.asarray(means), jnp.asarray(ops))
+
+        g_new = loss(s)
+        g_old = loss(dataclasses.replace(s, entry_stream=False))
+        for a, b in zip(g_new, g_old):
+            ref = np.abs(np.asarray(b)).max() + 1e-12
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5 * ref)
+
     def test_bg_gradient_covers_empty_tiles(self):
         """A scene leaving whole tiles empty: d(sum image)/d(bg) must count
         every pixel's transmittance, including bg-only tiles (they ride the
