@@ -67,6 +67,50 @@ def random_gaussian_scene(n: int, cap: int | None = None, n_frames: int = 4,
     return params, meta, poses
 
 
+def wall_z(x, y):
+    """World-space wall surface z = 5 + 0.5 sin(1.1 x) + 0.3 sin(1.7 y)."""
+    return 5.0 + 0.5 * np.sin(1.1 * x) + 0.3 * np.sin(1.7 * y)
+
+
+def wall_color(x, y):
+    """Smooth multi-octave world-space texture in [0.05, 0.95]."""
+    r = 0.5 + 0.25 * np.sin(2.1 * x + 0.3) + 0.15 * np.sin(5.3 * y)
+    g = 0.5 + 0.25 * np.sin(1.7 * y + 1.1) + 0.15 * np.sin(4.1 * (x + y))
+    b = 0.5 + 0.25 * np.sin(2.9 * (x - y)) + 0.15 * np.cos(3.7 * x)
+    return np.clip(np.stack([r, g, b], -1), 0.05, 0.95).astype(np.float32)
+
+
+DYN_COLOR = np.asarray([0.95, 0.2, 0.1], np.float32)
+DYN_DEPTH = 2.5
+
+
+def render_wall_view(cam_t, height: int, width: int, focal: float,
+                     square_xy=None, square_size: int | None = None):
+    """Ray-trace one view of the wall world from a translated camera
+    (identity rotation): returns (img [H, W, 3] float in [0,1],
+    depth [H, W], dyn_mask [H, W]). ``square_xy`` places the red dynamic
+    square (pixel coords of its top-left); None renders background only."""
+    gx, gy = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    dirx = (gx - width / 2) / focal
+    diry = (gy - height / 2) / focal
+    tx, ty, tz = cam_t
+    # world point along the pixel ray is t + z * (dirx, diry, 1); solve
+    # z = wall_z(...) by fixed point (gentle slopes, converges fast)
+    z = np.full((height, width), 5.0)
+    for _ in range(25):
+        z = wall_z(tx + z * dirx, ty + z * diry) - tz
+    img = wall_color(tx + z * dirx, ty + z * diry)
+    depth = z.astype(np.float32)
+    dyn = np.zeros((height, width), np.float32)
+    if square_xy is not None:
+        x0, y0 = square_xy
+        sz = square_size if square_size is not None else height // 5
+        dyn[y0:y0 + sz, x0:x0 + sz] = 1.0
+        img = np.where(dyn[..., None] > 0, DYN_COLOR, img)
+        depth = np.where(dyn > 0, DYN_DEPTH, depth).astype(np.float32)
+    return img, depth, dyn
+
+
 def make_synthetic_stage1_dir(
     out_dir: str,
     n_frames: int = 8,
@@ -101,40 +145,11 @@ def make_synthetic_stage1_dir(
     # the multi-view supervision is subpixel-consistent (a perfect
     # reconstruction scores arbitrarily high PSNR; the old generator's
     # integer-shifted noise texture capped ANY method at ~17 dB).
-    def wall_z(x, y):
-        return 5.0 + 0.5 * np.sin(1.1 * x) + 0.3 * np.sin(1.7 * y)
-
-    def wall_color(x, y):
-        # smooth multi-octave texture in [0.05, 0.95]
-        r = 0.5 + 0.25 * np.sin(2.1 * x + 0.3) + 0.15 * np.sin(5.3 * y)
-        g = 0.5 + 0.25 * np.sin(1.7 * y + 1.1) + 0.15 * np.sin(4.1 * (x + y))
-        b = 0.5 + 0.25 * np.sin(2.9 * (x - y)) + 0.15 * np.cos(3.7 * x)
-        return np.clip(np.stack([r, g, b], -1), 0.05, 0.95).astype(
-            np.float32)
-
-    gx, gy = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
-    dirx = (gx - width / 2) / focal
-    diry = (gy - height / 2) / focal
     for f in range(n_frames):
-        # cameras translate only (identity rotation): world point along the
-        # pixel ray is t + z * (dirx, diry, 1); solve z = wall_z(...) by
-        # fixed point (slopes are gentle, converges in a few iterations)
-        tx, ty, tz = poses[f, :3, 3]
-        z = np.full((height, width), 5.0)
-        for _ in range(25):
-            z = wall_z(tx + z * dirx, ty + z * diry) - tz
-        img = wall_color(tx + z * dirx, ty + z * diry)
-        depth = z.astype(np.float32)
-
-        # dynamic object: bright square marching across the image
         x0 = int(width * 0.1 + f * width * 0.08)
         y0 = int(height * 0.35)
-        sz = height // 5
-        dyn = np.zeros((height, width), np.float32)
-        dyn[y0:y0 + sz, x0:x0 + sz] = 1.0
-        img = np.where(dyn[..., None] > 0,
-                       np.asarray([0.95, 0.2, 0.1], np.float32), img)
-        depth = np.where(dyn > 0, 2.5, depth).astype(np.float32)
+        img, depth, dyn = render_wall_view(
+            poses[f, :3, 3], height, width, focal, square_xy=(x0, y0))
 
         Image.fromarray((img * 255).astype(np.uint8)).save(
             out / f"frame_{f:04d}.png")

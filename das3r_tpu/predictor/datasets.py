@@ -211,6 +211,60 @@ class SyntheticTwoViewDataset:
                            gt_mask_1=mask, gt_mask_2=mask)
 
 
+class WallTwoViewDataset:
+    """Two-view clips ray-traced from the same wall + red-square world as
+    ``data.synthetic.make_synthetic_stage1_dir`` — a LEARNABLE mask-head
+    training set (VERDICT r4 item 4): the dynamic mask is the red square,
+    predictable from image content, unlike ``SyntheticTwoViewDataset``'s
+    pure-noise masks (whose best achievable IoU is chance). Training the
+    TINY model here and running quality_e2e --stage1 predictor closes the
+    loop with non-meaningless numbers (same image distribution).
+
+    GT pts3d/validity and the camera pose come from the exact ray-traced
+    depth, so the Regr3D term is meaningful too; per-view squares sit at
+    different positions (the object "moves" between the views)."""
+
+    def __init__(self, n: int = 64, resolution=(64, 48), seed: int = 0):
+        self.n = n
+        self.resolution = resolution
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def _view(self, rng, W, H, focal, cam_t):
+        from das3r_tpu.data.synthetic import render_wall_view
+        sz = max(4, int(H * rng.uniform(0.15, 0.3)))
+        x0 = int(rng.uniform(0, W - sz))
+        y0 = int(rng.uniform(0, H - sz))
+        img, depth, dyn = render_wall_view(
+            cam_t, H, W, focal, square_xy=(x0, y0), square_size=sz)
+        return img, depth, dyn
+
+    def __getitem__(self, index: int) -> TwoViewClip:
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        W, H = self.resolution
+        focal = 0.9 * W
+        K = np.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+        t1 = rng.normal(0, 0.15, 3)
+        t2 = t1 + rng.normal(0, 0.08, 3)
+        c2w1 = np.eye(4, dtype=np.float32)
+        c2w1[:3, 3] = t1
+        c2w2 = np.eye(4, dtype=np.float32)
+        c2w2[:3, 3] = t2
+        img1, d1, m1 = self._view(rng, W, H, focal, t1)
+        img2, d2, m2 = self._view(rng, W, H, focal, t2)
+        p1, v1 = depth_to_world_pts(d1, K, c2w1)
+        p2, v2 = depth_to_world_pts(d2, K, c2w2)
+        to_u8 = lambda im: (im * 255).astype(np.uint8)  # noqa: E731
+        return TwoViewClip(img1=imgnorm(to_u8(img1)),
+                           img2=imgnorm(to_u8(img2)),
+                           gt_pts3d_1=p1, gt_pts3d_2=p2,
+                           camera_pose_1=c2w1, valid_1=v1, valid_2=v2,
+                           gt_mask_1=m1.astype(np.float32),
+                           gt_mask_2=m2.astype(np.float32))
+
+
 class RepeatedDataset:
     """``n @ dataset`` combinator: n samples drawn round-robin."""
 

@@ -68,6 +68,23 @@ def _load_ckpt(path, train_params, opt_state):
             best_pose)
 
 
+def save_params_npz(path: str, params: dict) -> None:
+    """Full parameter tree -> one npz (keystr-keyed); the stage-1 ckpt
+    format quality_e2e --stage1_ckpt consumes."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **{jax.tree_util.keystr(k): np.asarray(v)
+                                 for k, v in flat})
+
+
+def load_params_npz(path: str, template: dict) -> dict:
+    """Inverse of ``save_params_npz`` (template gives the tree shape)."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [jnp.asarray(data[jax.tree_util.keystr(k)]) for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def evaluate_stats(model, params, dataset, batch_size, max_batches=None):
     """Per-dataset test stats (test_one_epoch, training.py:497-556):
     ``loss`` = mean over batches, ``loss_med`` = median — the reference
@@ -109,7 +126,8 @@ def fit(model: AsymmetricCroCo3D, params: dict, train_dataset,
     Wire ``das3r_tpu.eval.pose_eval.eval_pose_estimation`` here when real
     dataset roots are available.
     """
-    train_p, frozen_p = training.split_params(params)
+    train_p, frozen_p = training.split_params(
+        params, freeze=train_cfg.freeze)
     opt = training.adamw_init(train_p)
     step_fn = training.make_train_step(model, train_cfg, mesh=mesh)
 

@@ -40,10 +40,17 @@ class Stage1TrainConfig:
     b2: float = 0.95
     eps: float = 1e-8
     alpha: float = 0.2            # ConfLoss alpha
+    # Parameter freeze set (reference model.py:96-106 freeze choices):
+    # "encoder_and_3d_predictor" = DAS3R recipe, only the mask heads
+    # train; "none" = train everything (the from-scratch option for
+    # environments without the MonST3R pretrained trunk).
+    freeze: str = "encoder_and_3d_predictor"
 
 
-def split_params(params: dict):
-    """(trainable mask-head params, frozen trunk params)."""
+def split_params(params: dict, freeze: str = "encoder_and_3d_predictor"):
+    """(trainable params, frozen params) per the freeze set."""
+    if freeze == "none":
+        return dict(params), {}
     train = {k: v for k, v in params.items() if k in TRAINABLE_KEYS}
     frozen = {k: v for k, v in params.items() if k not in TRAINABLE_KEYS}
     return train, frozen
@@ -106,7 +113,8 @@ def make_train_step(model: AsymmetricCroCo3D, cfg: Stage1TrainConfig,
                 batch: Stage1Batch):
         params = merge_params(train_params, frozen_params)
         res1, res2 = model.apply({"params": params}, img1, img2,
-                                 stop_trunk_grad=True, deterministic=True)
+                                 stop_trunk_grad=(cfg.freeze != "none"),
+                                 deterministic=True)
         out = conf_regr3d_mmask_loss(batch, res1, res2, alpha=cfg.alpha)
         return out.total, out
 

@@ -52,6 +52,19 @@ def main(argv=None):
                          "Sim3-ATE of the learned train poses vs the true "
                          "trajectory — the trainer's camera-Adam recovery "
                          "capability (train_gui.py PSNR-gated pose step)")
+    ap.add_argument("--no-optim-pose", dest="optim_pose",
+                    action="store_false", default=True,
+                    help="freeze the camera Adam (ablation arm of the "
+                         "pose-recovery sweep: how much of the PSNR is "
+                         "carried by test-pose alignment alone)")
+    ap.add_argument("--psnr_threshold", type=float, default=26.0,
+                    help="camera-Adam gate (train_gui.py:581-586; 0 "
+                         "disables the gate to test gate starvation)")
+    ap.add_argument("--noise_seed", type=int, default=11)
+    ap.add_argument("--stage1_ckpt", default=None,
+                    help="TINY params npz from scripts/train_tiny_stage1 "
+                         "(--stage1 predictor then runs TRAINED weights; "
+                         "VERDICT r4 item 4)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -93,13 +106,40 @@ def main(argv=None):
         model = AsymmetricCroCo3D(TINY)
         params = jax.tree.map(jnp.asarray, convert_torch_state_dict(
             random_torch_state_dict(TINY, np.random.default_rng(0)), TINY))
+        if args.stage1_ckpt:
+            from das3r_tpu.predictor.train_loop import load_params_npz
+            params = load_params_npz(args.stage1_ckpt, params)
         runner.run_scene(
             frames_dir, stage1_dir, model, params,
             scene_graph="swin-2-noncyclic",
             aligner_cfg=alignment.AlignerConfig(niter=50), size=64,
             verbose=lambda *_: None)
+        # stage-1 quality vs the generator's GT: dynamic-mask IoU (at the
+        # model resolution) and trajectory ATE of the aligned poses
+        from PIL import Image as _Image
+        from das3r_tpu.eval.masks import mask_iou
+        from das3r_tpu.data import trajectory as _traj
+        from das3r_tpu.eval import trajectory as _teval
+        ious = []
+        for p_pred in sorted(Path(stage1_dir).glob("dynamic_mask_*.png")):
+            i = int(p_pred.stem.split("_")[-1])
+            pred = np.asarray(_Image.open(p_pred).convert("L")) > 127
+            gt_p = Path(gen) / f"dynamic_mask_{i:04d}.png"
+            gt = np.asarray(_Image.open(gt_p).convert("L").resize(
+                (pred.shape[1], pred.shape[0]), _Image.NEAREST)) > 127
+            ious.append(mask_iou(pred, gt))
+        _, gpos, gquat = _traj.read_tum(os.path.join(gen, "pred_traj.txt"))
+        _, ppos, pquat = _traj.read_tum(
+            os.path.join(stage1_dir, "pred_traj.txt"))
+        s1_ate = _teval.eval_metrics(
+            _traj.tum_to_c2w(ppos, pquat), _traj.tum_to_c2w(gpos, gquat)).ate
+        stage1_detail = {"stage1_mask_iou": round(float(np.mean(ious)), 4),
+                         "stage1_ate": round(float(s1_ate), 5),
+                         "stage1_ckpt": args.stage1_ckpt}
 
     gt_c2w = None
+    if args.stage1 == "gt":
+        stage1_detail = {}
     if args.pose_noise > 0:
         # Perturb the stage-1 trajectory IN the stage-1 dir, before the
         # bridge: rearrange derives both pred_traj.txt and the COLMAP
@@ -110,7 +150,7 @@ def main(argv=None):
         traj_path = os.path.join(stage1_dir, "pred_traj.txt")
         _, pos, quat = traj_io.read_tum(traj_path)
         gt_c2w = traj_io.tum_to_c2w(pos, quat)
-        rng = np.random.default_rng(11)
+        rng = np.random.default_rng(args.noise_seed)
         noisy = gt_c2w.copy()
         noisy[:, :3, 3] += rng.normal(0, args.pose_noise, (len(pos), 3))
         for f in range(len(pos)):
@@ -139,15 +179,19 @@ def main(argv=None):
     t_stage1 = time.time() - t0
 
     t1 = time.time()
-    trainer.main([
+    train_args = [
         "-s", scene_dir, "-m", model_dir,
         "--iter", str(args.iters), "--eval",
         "--test_iterations", str(args.iters),
         "--save_iterations", str(args.iters),
         "--log_every", "200",
         "--max_points", str(args.max_points),
+        "--psnr_threshold", str(args.psnr_threshold),
         "--gt_dynamic_mask", gt_mask_root, "--dataset", "davis",
-    ])
+    ]
+    if not args.optim_pose:
+        train_args.append("--no-optim-pose")
+    trainer.main(train_args)
     t_train = time.time() - t1
 
     test_log = os.path.join(model_dir, "test_log.txt")
@@ -175,6 +219,8 @@ def main(argv=None):
         m_final = traj_eval.eval_metrics(np.linalg.inv(est_w2c), gt_train)
         m_init = traj_eval.eval_metrics(np.linalg.inv(noisy_w2c), gt_train)
         pose_detail = {"pose_noise": args.pose_noise,
+                       "optim_pose": args.optim_pose,
+                       "psnr_threshold": args.psnr_threshold,
                        "ate_init": round(m_init.ate, 5),
                        "ate_final": round(m_final.ate, 5),
                        "rpe_trans_final": round(m_final.rpe_trans, 5),
@@ -188,7 +234,8 @@ def main(argv=None):
         "detail": {"frames": args.frames, "hw": [args.height, args.width],
                    "stage1": args.stage1,
                    "stage1_s": round(t_stage1, 1),
-                   "train_s": round(t_train, 1), **pose_detail},
+                   "train_s": round(t_train, 1), **stage1_detail,
+                   **pose_detail},
     }))
 
 
