@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 
 
-def check_parity():
+def check_parity(results):
     import numpy as np
     from das3r_tpu.ops.splat import RasterSettings
     from tests.test_splat import make_scene, run_both
@@ -46,9 +46,78 @@ def check_parity():
             d = float(np.abs(img - ref_img).max())
             line_ok = d < 5e-4
             ok &= line_ok
+            results.append({"check": "parity_window", "tight": tight,
+                            "dma": dma, "maxdiff": d, "ok": line_ok})
             print(f"parity tight={tight} dma={dma}: maxdiff={d:.2e} "
                   f"overflow={int(aux.tile_overflow)} "
                   f"{'OK' if line_ok else 'FAIL'}", flush=True)
+    return ok
+
+
+def check_parity_entry_stream(results):
+    """Entry-stream path (the production TPU path) vs the f64 oracle —
+    normal scene + a dense 0.9-opacity scene exercising the saturation
+    skip — and gradient parity vs the [T, K] window path."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from das3r_tpu.ops.splat import RasterSettings, rasterize
+    from das3r_tpu.ops.splat.reference import rasterize_reference
+    from tests.test_splat import make_camera, make_scene
+
+    ok = True
+    for name, seed, dense in (("normal", 42, False), ("dense", 17, True)):
+        rng = np.random.default_rng(seed)
+        s = RasterSettings(image_height=128, image_width=128, sh_degree=0,
+                           max_per_tile=2048, max_tiles_per_gaussian=64,
+                           max_total_entries=200_000, entry_stream=True)
+        means, scales, rots, ops, colors = make_scene(
+            1200, rng, spread=0.6 if dense else 1.5)
+        if dense:
+            ops = rng.uniform(0.9, 0.98, 1200).astype(np.float32)
+            scales = (scales * 3.0).astype(np.float32)
+        view, proj, campos, tfx, tfy = make_camera(s)
+        bg = np.array([0.2, 0.3, 0.1], np.float32)
+        kw = dict(viewmatrix=jnp.asarray(view), projmatrix=jnp.asarray(proj),
+                  campos=jnp.asarray(campos), bg=jnp.asarray(bg),
+                  tan_fovx=tfx, tan_fovy=tfy, scales=jnp.asarray(scales),
+                  rotations=jnp.asarray(rots),
+                  colors_precomp=jnp.asarray(colors))
+        img, _, _ = jax.jit(functools.partial(
+            rasterize, settings=s, backend="pallas"))(
+            jnp.asarray(means), jnp.asarray(ops), **kw)
+        ref_img, _ = rasterize_reference(
+            means, ops, s, viewmatrix=view, projmatrix=proj, campos=campos,
+            bg=bg, tan_fovx=tfx, tan_fovy=tfy, scales=scales,
+            rotations=rots, colors_precomp=colors)
+        d = float(np.abs(np.asarray(img) - ref_img).max())
+        line_ok = d < 5e-4
+        ok &= line_ok
+        results.append({"check": "parity_entry_stream", "scene": name,
+                        "maxdiff": d, "ok": line_ok})
+        print(f"parity entry_stream scene={name}: maxdiff={d:.2e} "
+              f"{'OK' if line_ok else 'FAIL'}", flush=True)
+
+        def gradfn(st):
+            def f(m, o):
+                i, _, _ = rasterize(m, o, st, backend="pallas", **kw)
+                w = jnp.cos(jnp.arange(i.size).reshape(i.shape) * 0.01)
+                return jnp.sum(i * w)
+            return jax.jit(jax.grad(f, argnums=(0, 1)))(
+                jnp.asarray(means), jnp.asarray(ops))
+
+        g_es = gradfn(s)
+        g_w = gradfn(dataclasses.replace(s, entry_stream=False))
+        rel = max(float(jnp.abs(a - b).max()
+                        / (jnp.abs(b).max() + 1e-12))
+                  for a, b in zip(g_es, g_w))
+        g_ok = rel < 1e-4
+        ok &= g_ok
+        results.append({"check": "grad_entry_vs_window", "scene": name,
+                        "max_rel": rel, "ok": g_ok})
+        print(f"grads entry-vs-window scene={name}: max_rel={rel:.2e} "
+              f"{'OK' if g_ok else 'FAIL'}", flush=True)
     return ok
 
 
@@ -60,7 +129,7 @@ def run_stages(stages):
                     "--iters", "30", "--stages", stages], check=False)
 
 
-def run_ab():
+def run_ab(results=None):
     """Full-step timing with DMA vs padded-aligned windows."""
     import jax
     import jax.numpy as jnp
@@ -107,6 +176,9 @@ def run_ab():
             jax.block_until_ready(chain(pose + 1e-6 * (k + 1)))
             best = min(best, time.perf_counter() - t0)
         ms = best / ITERS * 1e3
+        if results is not None:
+            results.append({"check": "ab_dma", "dma": dma,
+                            "ms_per_iter": round(ms, 2)})
         print(f"ab use_dma_windows={dma}: {ms:.2f} ms/iter "
               f"({H * W * ITERS / best / 1e6:.2f} Mpix/s)", flush=True)
 
@@ -117,21 +189,31 @@ def main(argv=None):
     ap.add_argument("--stages",
                     default="prep,prep_bin,prep_bin_gather,full_fwd,"
                             "full_fwd_bwd")
+    ap.add_argument("--json", default=None,
+                    help="write the structured result list here")
     args = ap.parse_args(argv)
     skip = set(args.skip.split(",")) if args.skip else set()
 
     ok = True
+    results = []
     if "parity" not in skip:
-        ok &= check_parity()
+        ok &= check_parity(results)
+    if "entry" not in skip:
+        ok &= check_parity_entry_stream(results)
     if "stages" not in skip:
         run_stages(args.stages)
     if "ab" not in skip:
-        run_ab()
+        run_ab(results)
     if "bench" not in skip:
         import subprocess
         subprocess.run([sys.executable, "-u", os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "bench.py")], check=False)
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"ok": ok, "results": results}, f, indent=1)
+        print(f"wrote {args.json}")
     sys.exit(0 if ok else 1)
 
 
