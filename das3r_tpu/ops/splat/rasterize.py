@@ -38,6 +38,36 @@ from das3r_tpu.ops.splat.settings import RasterSettings
 DUP_HIST_WIDTHS = (2, 4, 6, 8, 10, 12, 16, 20, 24, 28)
 
 
+@jax.custom_vjp
+def _permute_rows_p(x, order, inv):
+    return x[order]
+
+
+def _permute_rows_fwd(x, order, inv):
+    return x[order], inv
+
+
+def _permute_rows_bwd(inv, g):
+    return g[inv], None, None
+
+
+_permute_rows_p.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def permute_rows(x: jax.Array, order: jax.Array) -> jax.Array:
+    """``x[order]`` for a PERMUTATION ``order``, with a permutation-aware
+    vjp: the transpose of a permutation gather is a gather by the inverse
+    permutation — XLA cannot prove injectivity and emits a scatter-add
+    (~18-70 ns/row into the [N, 9] table at production scale, r3 cost
+    model) where a row gather runs at ~8.5 ns/row. The inverse is one
+    scatter-SET of int singles (~3.3 ns/row), paid in the forward."""
+    order = jax.lax.stop_gradient(order)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype),
+        unique_indices=True)
+    return _permute_rows_p(x, order, inv)
+
+
 class RasterAux(NamedTuple):
     n_contrib_tiles: jax.Array   # [T] live Gaussians per tile (pre-truncation)
     tile_overflow: jax.Array     # [] tiles whose list was truncated to K
@@ -148,8 +178,8 @@ def rasterize(
         # [E_al]-scale gather (measured ~6x slower, same pathology as the
         # window path's table barrier).
         table = jax.lax.optimization_barrier(jnp.concatenate(
-            [attr_mat[es.order], jnp.zeros((1, attr_mat.shape[1]),
-                                           attr_mat.dtype)]))
+            [permute_rows(attr_mat, es.order),
+             jnp.zeros((1, attr_mat.shape[1]), attr_mat.dtype)]))
         cpre, tfinal = entry_blend.render_tiles(table, es, bg, settings)
         tiles = cpre + tfinal * bg.reshape(1, 3, 1)     # [T, 3, P]
         img = blend.assemble_image(jnp.swapaxes(tiles, 1, 2), settings)
@@ -186,7 +216,7 @@ def rasterize(
         # scatter-add + N-scale permutation).
         attr_mat = jax.lax.optimization_barrier(jnp.concatenate(
             [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1))
-        attr_rank = attr_mat[bins.order]                    # [N, 9]
+        attr_rank = permute_rows(attr_mat, bins.order)      # [N, 9]
         gathered = attr_rank[bins.rank]                     # [T, K, 9]
         tiles = pallas_blend.blend_tiles_pallas(
             jnp.swapaxes(gathered, 1, 2), bins.count, bins.delta, bg,
@@ -251,8 +281,8 @@ def _entry_stream_sharded(p, settings: RasterSettings, bg, mesh, tile_axis):
     attr_mat = jnp.concatenate(
         [p.mean2d, p.conic, p.color, p.opacity[:, None]], axis=1)
     table = jax.lax.optimization_barrier(jnp.concatenate(
-        [attr_mat[ks.order], jnp.zeros((1, attr_mat.shape[1]),
-                                       attr_mat.dtype)]))
+        [permute_rows(attr_mat, ks.order),
+         jnp.zeros((1, attr_mat.shape[1]), attr_mat.dtype)]))
     nbits = ks.nbits
 
     def body(table, keys, bg):
