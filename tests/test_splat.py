@@ -397,3 +397,25 @@ class TestShDirectionNaNGuard:
         assert bool(jnp.isfinite(gpose).all())
         assert bool(jnp.isfinite(gp.xyz).all())
         assert bool(jnp.isfinite(gp.features_rest).all())
+
+
+def test_permute_rows_vjp_is_inverse_gather():
+    """permute_rows: forward equals x[order]; backward equals gathering the
+    cotangent by the inverse permutation (the scatter-add XLA would emit
+    for a plain gather, but at row-gather cost — docs/PERF.md round 5)."""
+    import jax
+    import jax.numpy as jnp
+    from das3r_tpu.ops.splat.rasterize import permute_rows
+
+    rng = np.random.default_rng(0)
+    n = 257
+    x = jnp.asarray(rng.normal(size=(n, 9)).astype(np.float32))
+    order = jnp.asarray(rng.permutation(n).astype(np.int32))
+
+    y, vjp = jax.vjp(lambda a: permute_rows(a, order), x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[order])
+    g = jnp.asarray(rng.normal(size=(n, 9)).astype(np.float32))
+    (gx,) = vjp(g)
+    want = np.zeros((n, 9), np.float32)
+    np.add.at(want, np.asarray(order), np.asarray(g))
+    np.testing.assert_allclose(np.asarray(gx), want, atol=1e-6)
