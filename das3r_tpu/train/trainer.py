@@ -336,7 +336,13 @@ def train_scene(
             d_ovf = int(np.asarray(metrics.dup_overflow).max())
             if d_ovf > 0:
                 old_d = settings.max_tiles_per_gaussian
-                new_d = -(-int(old_d * 1.5) // 4) * 4
+                # x2 (not x1.5): every regrow recompiles EVERY settings-
+                # keyed graph (train chunk, test-pose chunk, eval views) at
+                # ~200 s each through the relay — the round-5 quality-run
+                # attribution (docs/PERF.md) measured 4 consecutive x1.5
+                # dup regrows (16->84) costing ~1600 s of a 3554 s run;
+                # doubling halves the recompile count for the same growth
+                new_d = -(-int(old_d * 2) // 4) * 4
                 settings = dataclasses.replace(
                     settings, max_tiles_per_gaussian=new_d)
                 warn(f"[ITER {end}] dup overflow {d_ovf}: regrow "
