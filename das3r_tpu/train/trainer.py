@@ -367,9 +367,23 @@ def train_scene(
                 tblog.scalars(tb_writer, end, train__heavy_overflow=h_ovf,
                               train__heavy_cap=new_h)
             if t_ovf > 0:
-                warn(f"[ITER {end}] capacity warning: tile_overflow "
-                     f"{t_ovf} (window path truncating; raise "
-                     f"max_per_tile)")
+                # [T, K] window-path truncation self-heals like the other
+                # capacities (the entry-stream path has no per-tile cap and
+                # never reports this). K must stay a multiple of 128 (or a
+                # divisor — pallas_blend._pick_chunk); 16384 caps the
+                # [T, K, 9] working set at sane sizes.
+                old_k = settings.max_per_tile
+                new_k = min(-(-int(old_k * 1.5) // 128) * 128, 16384)
+                if new_k > old_k:
+                    settings = dataclasses.replace(settings,
+                                                   max_per_tile=new_k)
+                    warn(f"[ITER {end}] tile overflow {t_ovf}: regrow "
+                         f"max_per_tile {old_k} -> {new_k} "
+                         f"(recompile at next chunk)")
+                else:
+                    warn(f"[ITER {end}] capacity warning: tile_overflow "
+                         f"{t_ovf} (window path truncating at the "
+                         f"max_per_tile ceiling {old_k})")
             if t_ovf > 0 or d_ovf > 0:
                 tblog.scalars(tb_writer, end, train__tile_overflow=t_ovf,
                               train__dup_overflow=d_ovf)

@@ -232,6 +232,28 @@ def test_resume_bitmatch(scene_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_tile_overflow_auto_regrow(scene_dir):
+    """A starved max_per_tile on the [T, K] window path (the CPU/XLA
+    fallback) triggers the trainer's K auto-regrow (round-5 addition:
+    the last capacity without self-healing); the grown K stays a
+    multiple of 128 (pallas_blend._pick_chunk contract) and clears the
+    fixture's ~530-entry peak occupancy."""
+    data = readers.load_scene(scene_dir, eval_mode=False)
+    bundle = scene_setup.build_scene(data, sh_degree=0, conf_thre=1.0,
+                                     max_per_tile=128,   # starved
+                                     max_tiles_per_gaussian=16,
+                                     max_points=4096)
+    cfg = OptimizationConfig(iterations=24, psnr_threshold=15.0)
+    msgs = []
+    result = trainer.train_scene(bundle, cfg, model_path=None, log_every=1,
+                                 progress=lambda *_: None, warn=msgs.append)
+    assert any("regrow max_per_tile" in m for m in msgs), msgs
+    final = result.final_settings
+    assert final.max_per_tile > 128 and final.max_per_tile % 128 == 0
+    assert np.isfinite(result.last_loss)
+
+
+@pytest.mark.slow
 def test_dup_overflow_auto_regrow(scene_dir):
     """A deliberately starved max_tiles_per_gaussian (probe disabled)
     triggers the trainer's dup-cap regrow; the regrown cap renders the
