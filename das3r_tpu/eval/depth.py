@@ -22,7 +22,15 @@ class DepthMetrics:
 
 def align_depth(pred: np.ndarray, gt: np.ndarray, valid: np.ndarray,
                 mode: str = "scale&shift"):
-    """Align pred to gt over valid pixels. Returns aligned pred."""
+    """Align pred to gt over valid pixels. Returns aligned pred.
+
+    Modes mirror the reference depth_evaluation alignment flags
+    (depth_eval.py:148-262): ``scale&shift`` = align_with_lstsq,
+    ``scale`` = the default median-ratio path, ``scale_weiszfeld`` =
+    align_with_scale (closed-form L2 scale + 10 Weiszfeld IRLS rounds,
+    clamped at 1e-3), ``lad`` = align_with_lad (L1-optimal scale+shift,
+    solved by IRLS instead of scipy.minimize — same objective),
+    ``none`` = raw."""
     p = pred[valid].astype(np.float64)
     g = gt[valid].astype(np.float64)
     if mode == "scale&shift":
@@ -32,6 +40,24 @@ def align_depth(pred: np.ndarray, gt: np.ndarray, valid: np.ndarray,
     if mode == "scale":
         s = np.median(g) / max(np.median(p), 1e-12)
         return pred * s
+    if mode == "scale_weiszfeld":
+        s = np.mean(g) / max(np.mean(p), 1e-12)
+        for _ in range(10):
+            w = 1.0 / (np.abs(s * p - g) + 1e-8)
+            s = np.sum(w * p * g) / max(np.sum(w * p * p), 1e-12)
+        return pred * max(s, 1e-3)
+    if mode == "lad":
+        # L1-optimal s, t via IRLS (the reference minimizes the same
+        # sum |s p + t - g| with scipy; IRLS converges to the same
+        # optimum and is dependency-free)
+        s = np.median(g) / max(np.median(p), 1e-12)
+        t = 0.0
+        for _ in range(50):
+            w = 1.0 / (np.abs(s * p + t - g) + 1e-8)
+            A = np.stack([p, np.ones_like(p)], 1) * np.sqrt(w)[:, None]
+            b = g * np.sqrt(w)
+            (s, t), *_ = np.linalg.lstsq(A, b, rcond=None)
+        return pred * s + t
     if mode == "none":
         return pred
     raise ValueError(mode)

@@ -27,6 +27,39 @@ class TestDepthMetrics:
         m2 = depth_eval.depth_metrics(pred, gt, align="none")
         assert m2.abs_rel > 0.1
 
+    def test_weiszfeld_scale_robust_to_outliers(self):
+        """align_with_scale semantics (depth_eval.py:231-255): the IRLS
+        scale must recover the true factor despite gross outliers that
+        wreck the plain L2/median ratio less robustly."""
+        rng = np.random.default_rng(2)
+        gt = rng.uniform(1, 10, (40, 40))
+        pred = gt / 2.5
+        gt_noisy = gt.copy()
+        gt_noisy[:4] = 50.0                  # 10% gross GT outliers (low
+        # leverage in s*p - g: their subgradient is p, same as inliers —
+        # PRED-side outliers would legitimately dominate the L1 fit)
+        clean = depth_eval.depth_metrics(pred, gt, align="scale_weiszfeld")
+        assert clean.abs_rel < 1e-9
+        aligned = depth_eval.align_depth(
+            pred, gt_noisy, np.isfinite(gt_noisy), "scale_weiszfeld")
+        assert np.abs(aligned[4:] / gt[4:] - 1).max() < 0.02
+
+    def test_lad_alignment_recovers_affine_with_outliers(self):
+        """align_with_lad semantics: L1 scale+shift shrugs off the
+        outliers that bias the lstsq fit."""
+        rng = np.random.default_rng(3)
+        gt = rng.uniform(1, 10, (40, 40))
+        pred = gt * 0.4 + 0.7
+        gt_noisy = gt.copy()
+        gt_noisy[:4] = 80.0                  # GT-side outliers
+        a_lad = depth_eval.align_depth(pred, gt_noisy,
+                                       np.isfinite(gt_noisy), "lad")
+        a_ls = depth_eval.align_depth(pred, gt_noisy,
+                                      np.isfinite(gt_noisy), "scale&shift")
+        err_lad = np.abs(a_lad[4:] - gt[4:]).mean()
+        err_ls = np.abs(a_ls[4:] - gt[4:]).mean()
+        assert err_lad < 0.01 and err_lad < err_ls * 0.1
+
     def test_known_error(self):
         gt = np.full((16, 16), 4.0)
         pred = np.full((16, 16), 5.0)
