@@ -67,12 +67,23 @@ def depth_metrics(pred: np.ndarray, gt: np.ndarray,
                   valid: np.ndarray | None = None,
                   align: str = "scale&shift",
                   min_depth: float = 1e-3,
-                  max_depth: float = 80.0) -> DepthMetrics:
-    """Per-sequence (or per-frame) depth metrics; pred/gt any same shape."""
+                  max_depth: float = 80.0,
+                  disp_input: bool = False) -> DepthMetrics:
+    """Per-sequence (or per-frame) depth metrics; pred/gt any same shape.
+
+    ``disp_input``: ``pred`` is a DISPARITY map — align it against the GT
+    disparity 1/(gt+1e-8) and convert back to depth for the metrics
+    (reference depth_evaluation's disp_input branch,
+    depth_eval.py:203-268)."""
     if valid is None:
         valid = np.isfinite(gt)
     valid = valid & (gt > min_depth) & (gt < max_depth) & np.isfinite(pred)
-    pred = align_depth(pred, gt, valid, align)
+    if disp_input:
+        gt_disp = 1.0 / (gt + 1e-8)
+        pred = align_depth(pred, gt_disp, valid, align)
+        pred = 1.0 / np.maximum(pred, 1e-8)      # back to depth
+    else:
+        pred = align_depth(pred, gt, valid, align)
     p = np.clip(pred[valid], min_depth, None)
     g = gt[valid]
     thresh = np.maximum(p / g, g / p)

@@ -60,6 +60,20 @@ class TestDepthMetrics:
         err_ls = np.abs(a_ls[4:] - gt[4:]).mean()
         assert err_lad < 0.01 and err_lad < err_ls * 0.1
 
+    def test_disp_input_alignment(self):
+        """disp_input: a disparity pred off by an affine factor in
+        DISPARITY space aligns to near-zero error (depth_eval.py:203-268
+        branch); aligning it as if it were depth does not."""
+        rng = np.random.default_rng(4)
+        gt = rng.uniform(1, 10, (32, 32))
+        disp = 1.0 / gt
+        pred_disp = disp * 0.3 + 0.05
+        m = depth_eval.depth_metrics(pred_disp, gt, align="scale&shift",
+                                     disp_input=True)
+        assert m.abs_rel < 1e-6
+        m2 = depth_eval.depth_metrics(pred_disp, gt, align="scale&shift")
+        assert m2.abs_rel > 0.05
+
     def test_known_error(self):
         gt = np.full((16, 16), 4.0)
         pred = np.full((16, 16), 5.0)
